@@ -1,0 +1,96 @@
+"""Centered orthonormal 2-D FFTs and complex-layout helpers.
+
+The reference encodes complex arrays as a trailing real/imag dimension of
+size 2 and implements fft2/ifft2 as ifftshift -> fft(norm) -> fftshift over
+the spatial axes (see /root/reference/tfpnp/utils/transforms.py:68-103).
+Here we use native ``complex64`` arrays — the idiomatic XLA representation —
+with spatial axes last, and provide the exact same centered-orthonormal
+convention.
+
+Layout conventions of this framework:
+  - solver variables / k-space:  ``[B, H, W]`` complex64 (channel-free)
+  - network observations:        ``[B, H, W, C]`` float32 (NHWC, TPU-native)
+
+``complex2channel`` maps a complex stack ``[..., H, W]`` into interleaved
+real/imag NHWC channels, matching the channel ordering of the reference's
+``complex2channel`` (transforms.py:20-26) up to the NCHW->NHWC transpose.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = [
+    "fft2c",
+    "ifft2c",
+    "fft2",
+    "ifft2",
+    "real2complex",
+    "complex2real",
+    "complex_abs",
+    "complex2channel",
+]
+
+
+def fft2c(x: jnp.ndarray) -> jnp.ndarray:
+    """Centered orthonormal FFT2 over the last two axes.
+
+    Matches reference ``transforms.fft2`` (transforms.py:68-84):
+    ifftshift -> unitary FFT -> fftshift.
+    """
+    x = jnp.fft.ifftshift(x, axes=(-2, -1))
+    x = jnp.fft.fft2(x, norm="ortho")
+    return jnp.fft.fftshift(x, axes=(-2, -1))
+
+
+def ifft2c(x: jnp.ndarray) -> jnp.ndarray:
+    """Centered orthonormal inverse FFT2 over the last two axes.
+
+    Matches reference ``transforms.ifft2`` (transforms.py:87-103).
+    """
+    x = jnp.fft.ifftshift(x, axes=(-2, -1))
+    x = jnp.fft.ifft2(x, norm="ortho")
+    return jnp.fft.fftshift(x, axes=(-2, -1))
+
+
+def fft2(x: jnp.ndarray) -> jnp.ndarray:
+    """Uncentered orthonormal FFT2 (used by the CDP operator,
+    reference transforms.py:300 calls torch.fft without shifts)."""
+    return jnp.fft.fft2(x, norm="ortho")
+
+
+def ifft2(x: jnp.ndarray) -> jnp.ndarray:
+    """Uncentered orthonormal inverse FFT2."""
+    return jnp.fft.ifft2(x, norm="ortho")
+
+
+def real2complex(x: jnp.ndarray) -> jnp.ndarray:
+    """Lift a real array to complex64 with zero imaginary part
+    (reference transforms.py:12-13)."""
+    return x.astype(jnp.complex64)
+
+
+def complex2real(x: jnp.ndarray) -> jnp.ndarray:
+    """Real part of a complex array (reference transforms.py:16-17)."""
+    return jnp.real(x).astype(jnp.float32)
+
+
+def complex_abs(x: jnp.ndarray) -> jnp.ndarray:
+    """Magnitude of a complex array (reference transforms.py:106-118)."""
+    return jnp.abs(x).astype(jnp.float32)
+
+
+def complex2channel(x: jnp.ndarray) -> jnp.ndarray:
+    """Interleave real/imag of ``[..., S, H, W]`` complex into NHWC channels.
+
+    Input  ``[B, S, H, W]`` complex  ->  output ``[B, H, W, 2*S]`` float32
+    with channel order (re_0, im_0, re_1, im_1, ...), the same per-source
+    ordering as reference ``transforms.complex2channel`` (transforms.py:20-26).
+    A 3-D input ``[B, H, W]`` is treated as S == 1.
+    """
+    if x.ndim == 3:
+        x = x[:, None]
+    b, s, h, w = x.shape
+    ri = jnp.stack([jnp.real(x), jnp.imag(x)], axis=2)  # [B, S, 2, H, W]
+    ri = ri.reshape(b, s * 2, h, w)
+    return jnp.transpose(ri, (0, 2, 3, 1)).astype(jnp.float32)  # NHWC

@@ -1,0 +1,83 @@
+"""Denoiser prior wrapper: noise-map conditioning + clamp.
+
+Re-design of /root/reference/tfpnp/pnp/denoiser/base.py:7-32: the denoiser
+is a *pure function* ``apply(params, x, sigma)`` over frozen parameters —
+there is no mutable module, so ``jax.grad`` flows through it inside the
+differentiable environment exactly as the reference backpropagates through
+its frozen UNet (trainer.py:189-197).
+
+Weights come from either
+  - a converted reference checkpoint (``tfpnp_tpu.utils.convert_torch``), or
+  - our own training run (``scripts/train_denoiser.py``).
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..models.unet import UNet
+
+__all__ = ["UNetDenoiser", "load_denoiser"]
+
+
+@dataclass(frozen=True)
+class UNetDenoiser:
+    """Frozen UNet Gaussian denoiser.
+
+    ``__call__(x, sigma)``: x is ``[B, H, W]`` (in [0, 1]); sigma is a
+    per-sample ``[B]`` noise level. The image is concatenated with a
+    constant sigma map, passed through the UNet, and clamped to [0, 1]
+    (reference denoiser/base.py:23-32).
+    """
+
+    params: Any
+    module: UNet = field(default_factory=lambda: UNet(2, 1))
+
+    def __call__(self, x: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+        b, h, w = x.shape
+        sigma_map = jnp.broadcast_to(sigma.reshape(b, 1, 1, 1), (b, h, w, 1))
+        inp = jnp.concatenate([x[..., None], sigma_map], axis=-1)
+        out = self.module.apply({"params": self.params}, inp)
+        return jnp.clip(out[..., 0], 0.0, 1.0)
+
+
+def init_denoiser_params(key: jax.Array, image_size: int = 64) -> Any:
+    """Fresh (untrained) UNet parameters — used by tests and the trainer."""
+    module = UNet(2, 1)
+    dummy = jnp.zeros((1, image_size, image_size, 2))
+    return module.init(key, dummy)["params"]
+
+
+def load_denoiser(path: str | Path | None = None) -> UNetDenoiser:
+    """Load denoiser params from a pickle written by our trainer/converter.
+
+    Mirrors the reference's checkpoint contract (denoiser/base.py:8-21):
+    a default path is tried, and a missing checkpoint is an error with a
+    clear message.
+    """
+    if path is None:
+        path = Path(__file__).resolve().parent.parent / "pretrained" / "unet_denoiser.pkl"
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(
+            f"denoiser checkpoint not found at {path}; train one with "
+            "scripts/train_denoiser.py or convert the reference checkpoint "
+            "with tfpnp_tpu.utils.convert_torch")
+    with open(path, "rb") as f:
+        params = pickle.load(f)
+    return UNetDenoiser(params=jax.tree.map(jnp.asarray, params))
+
+
+def save_denoiser_params(params: Any, path: str | Path) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    import numpy as np
+    host = jax.tree.map(lambda a: np.asarray(a), params)
+    with open(path, "wb") as f:
+        pickle.dump(host, f)

@@ -1,0 +1,170 @@
+#!/usr/bin/env python3
+"""Headline benchmark: CS-MRI PnP-ADMM solver throughput on one chip.
+
+Metric: plug-and-play solver iterations per second (one iteration = one
+denoiser prox + one FFT data-consistency step for one image), on the
+flagship configuration — batch 48, 128x128, UNet prior, the reference's
+6-step x 5-pack episode shape (docs/results.md, csmri_admm_5x6_48).
+
+``vs_baseline`` compares against the same algorithm implemented in PyTorch
+on CPU (the reference is a torch framework with no published throughput
+numbers — BASELINE.md: published == {} — so the torch-CPU equivalent is
+measured in-process; north star >= 10x).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BATCH = 48
+SIZE = 128
+PACK = 5
+STEPS = 6  # episode steps -> PACK*STEPS = 30 solver iterations per image
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tfpnp_tpu.data.synthetic import random_images
+    from tfpnp_tpu.models.unet import UNet
+    from tfpnp_tpu.pnp import get_solver, run_bundle
+    from tfpnp_tpu.tasks import csmri
+
+    unet = UNet(2, 1)
+    ckpt = Path("tfpnp_tpu/pretrained/unet_denoiser.pkl")
+    if ckpt.exists():
+        import pickle
+        with open(ckpt, "rb") as f:
+            uparams = jax.tree.map(jnp.asarray, pickle.load(f))
+    else:
+        uparams = unet.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, SIZE, SIZE, 2)))["params"]
+
+    def denoiser(x, sigma):
+        b, h, w = x.shape
+        smap = jnp.broadcast_to(sigma.reshape(b, 1, 1, 1), (b, h, w, 1))
+        out = unet.apply({"params": uparams},
+                         jnp.concatenate([x[..., None], smap], -1))
+        return jnp.clip(out[..., 0], 0.0, 1.0)
+
+    solver = get_solver("csmri_admm", denoiser)
+    masks = jnp.asarray(np.stack([csmri.radial_mask(SIZE, 4)]))
+    gt = random_images(jax.random.PRNGKey(1), BATCH, SIZE)
+    data = csmri.make_data(jax.random.PRNGKey(2), gt, masks, sigma_list=(15.0,))
+
+    hyper = {"sigma_d": jnp.full((BATCH, PACK * STEPS), 10 / 255),
+             "mu": jnp.full((BATCH, PACK * STEPS), 0.1)}
+
+    @jax.jit
+    def episode(data):
+        state = solver.init(data)
+        state = run_bundle(solver, state, solver.filter_aux(data), hyper)
+        return solver.get_output(state)
+
+    out = episode(data)
+    jax.block_until_ready(out)  # compile
+    n_rep = 10
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = episode(data)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_rep
+    its_per_s = BATCH * PACK * STEPS / dt
+    return its_per_s, dt
+
+
+def bench_torch_cpu():
+    """Same ADMM iteration in PyTorch on CPU (independent implementation of
+    the identical math: UNet prior + centered-ortho FFT data consistency)."""
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+
+    class Block(nn.Sequential):
+        def __init__(self, cin, cout):
+            super().__init__(*[m for i in range(3) for m in
+                               (nn.Conv2d(cin if i == 0 else cout, cout, 3, padding=1),
+                                nn.LeakyReLU(0.2))])
+
+    class TorchUNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            w = [32, 64, 128, 256, 512]
+            self.inc = Block(2, w[0])
+            self.down = nn.ModuleList([Block(w[i - 1], w[i]) for i in range(1, 5)])
+            self.up = nn.ModuleList([Block(w[i] + w[i + 1], w[i]) for i in range(3, -1, -1)])
+            self.outc = nn.Conv2d(w[0], 1, 1)
+            self.pool = nn.MaxPool2d(2)
+            self.ups = nn.Upsample(scale_factor=2, mode="bilinear", align_corners=True)
+
+        def forward(self, x):
+            inp = x
+            skips = []
+            x = self.inc(x)
+            for d in self.down:
+                skips.append(x)
+                x = d(self.pool(x))
+            for u, s in zip(self.up, reversed(skips)):
+                x = u(torch.cat([s, self.ups(x)], 1))
+            return inp[:, :1] + self.outc(x)
+
+    net = TorchUNet().eval()
+    b = 4  # smaller batch on CPU; throughput normalized per iteration
+    x = torch.rand(b, 1, SIZE, SIZE)
+    y0 = torch.fft.fftshift(torch.fft.fft2(torch.fft.ifftshift(
+        x[:, 0].to(torch.complex64)), norm="ortho"))
+    mask = torch.rand(b, SIZE, SIZE) < 0.25
+    y0 = torch.where(mask, y0, torch.zeros_like(y0))
+    n_iter = 5
+
+    def episode():
+        with torch.no_grad():
+            xx = torch.fft.fftshift(torch.fft.ifft2(torch.fft.ifftshift(y0), norm="ortho"))
+            z = xx.clone()
+            u = torch.zeros_like(xx)
+            for _ in range(n_iter):
+                inp = torch.cat([(z - u).real[:, None],
+                                 torch.full((b, 1, SIZE, SIZE), 10 / 255)], 1)
+                xr = net(inp).clamp(0, 1)
+                xx = xr[:, 0].to(torch.complex64)
+                zf = torch.fft.fftshift(torch.fft.fft2(
+                    torch.fft.ifftshift(xx + u), norm="ortho"))
+                zf = torch.where(mask, (0.1 * zf + y0) / 1.1, zf)
+                z = torch.fft.fftshift(torch.fft.ifft2(torch.fft.ifftshift(zf), norm="ortho"))
+                u = u + xx - z
+        return xx
+
+    episode()  # warm up
+    n_rep = 2
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        episode()
+    dt = (time.perf_counter() - t0) / n_rep
+    return b * n_iter / dt
+
+
+def main():
+    tpu_its, dt = bench_tpu()
+    try:
+        cpu_its = bench_torch_cpu()
+    except Exception:
+        cpu_its = float("nan")
+    vs = tpu_its / cpu_its if cpu_its == cpu_its else None
+    print(json.dumps({
+        "metric": "csmri_admm_solver_iterations_per_second",
+        "value": round(tpu_its, 1),
+        "unit": "iter/s (1 iter = UNet prox + FFT DC, per image; batch 48 @128^2)",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Train the residual-UNet Gaussian denoiser prior on-device.
+
+The reference's prior is the external pretrained ``unet-nm.pt`` (not in its
+repo, gitignored — denoiser/base.py:11); we train our own on the procedural
+corpus: noise-map-conditioned Gaussian denoising with sigma ~ U[0, 70]/255,
+matching the conditioning interface the solvers use
+(reference denoiser/base.py:23-32).
+
+Everything (data synthesis, noising, fwd/bwd) runs jitted on the chip; the
+host only orchestrates and checkpoints.
+
+Usage:
+  python scripts/train_denoiser.py [--steps 12000] [--batch 32] [--size 128]
+                                   [--out tfpnp_tpu/pretrained/unet_denoiser.pkl]
+"""
+
+import argparse
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tfpnp_tpu.data.synthetic import random_images
+from tfpnp_tpu.models.unet import UNet
+from tfpnp_tpu.pnp.denoiser import save_denoiser_params
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=12000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--sigma_max", type=float, default=70.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", type=str, default="tfpnp_tpu/pretrained/unet_denoiser.pkl")
+    ap.add_argument("--val_every", type=int, default=1000)
+    args = ap.parse_args()
+
+    print("devices:", jax.devices(), flush=True)
+    model = UNet(2, 1)
+    key = jax.random.PRNGKey(args.seed)
+    key, k_init = jax.random.split(key)
+    params = model.init(k_init, jnp.zeros((1, args.size, args.size, 2)))["params"]
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    print(f"UNet params: {n_params/1e6:.2f}M", flush=True)
+
+    warmup = min(500, max(1, args.steps // 10))
+    sched = optax.warmup_cosine_decay_schedule(0.0, args.lr, warmup,
+                                               max(args.steps, warmup + 1), args.lr * 0.02)
+    tx = optax.adam(sched)
+    opt_state = tx.init(params)
+
+    def batch_loss(params, key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        clean = random_images(k1, args.batch, args.size)
+        # augment: random flips
+        fl = jax.random.bernoulli(k4, 0.5, (2,))
+        clean = jnp.where(fl[0], clean[:, ::-1], clean)
+        clean = jnp.where(fl[1], clean[:, :, ::-1], clean)
+        sigma = jax.random.uniform(k2, (args.batch,), minval=0.0,
+                                   maxval=args.sigma_max / 255.0)
+        noisy = clean + sigma[:, None, None] * jax.random.normal(k3, clean.shape)
+        sigma_map = jnp.broadcast_to(sigma[:, None, None, None],
+                                     clean.shape + (1,))
+        inp = jnp.concatenate([noisy[..., None], sigma_map], axis=-1)
+        out = model.apply({"params": params}, inp)[..., 0]
+        return jnp.mean((out - clean) ** 2)
+
+    @jax.jit
+    def train_step(params, opt_state, key):
+        loss, grads = jax.value_and_grad(batch_loss)(params, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def val_psnr(params, key, sigma255):
+        clean = random_images(key, 16, args.size)
+        sigma = jnp.full((16,), sigma255 / 255.0)
+        noisy = clean + sigma[:, None, None] * jax.random.normal(
+            jax.random.fold_in(key, 1), clean.shape)
+        sigma_map = jnp.broadcast_to(sigma[:, None, None, None], clean.shape + (1,))
+        out = model.apply({"params": params},
+                          jnp.concatenate([noisy[..., None], sigma_map], -1))[..., 0]
+        out = jnp.clip(out, 0, 1)
+        mse = jnp.mean((out - clean) ** 2, axis=(1, 2))
+        return jnp.mean(10 * jnp.log10(1.0 / mse))
+
+    val_key = jax.random.PRNGKey(12345)
+    t0 = time.time()
+    loss_acc = 0.0
+    for step in range(1, args.steps + 1):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, k)
+        loss_acc += float(loss)
+        if step % 100 == 0:
+            print(f"step {step:6d}  loss {loss_acc/100:.5f}  "
+                  f"{step/(time.time()-t0):.2f} it/s", flush=True)
+            loss_acc = 0.0
+        if step % args.val_every == 0 or step == args.steps:
+            psnrs = {s: float(val_psnr(params, val_key, s)) for s in (15, 25, 50)}
+            print(f"  val PSNR: " + "  ".join(f"s{s}={v:.2f}dB" for s, v in psnrs.items()),
+                  flush=True)
+            save_denoiser_params(params, args.out)
+            print(f"  saved -> {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

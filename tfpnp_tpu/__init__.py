@@ -22,3 +22,25 @@ and metric reductions ride ICI collectives inserted by GSPMD.
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even when a sitecustomize-registered PJRT plugin has
+# already overwritten jax_platforms at interpreter start (the tunneled-TPU
+# environment does this): if the env var names a different lead platform,
+# re-apply it. Harmless elsewhere.
+import os as _os
+
+
+def _honor_jax_platforms_env():
+    env = _os.environ.get("JAX_PLATFORMS")
+    if not env:
+        return
+    try:
+        import jax as _jax
+        cfg = (_jax.config.jax_platforms or "")
+        if env.split(",")[0] != cfg.split(",")[0]:
+            _jax.config.update("jax_platforms", env)
+    except Exception:
+        pass
+
+
+_honor_jax_platforms_env()

@@ -1,0 +1,79 @@
+"""Unified CLI — the four near-clone reference ``tasks/*/main.py`` entry
+points collapsed into one (their shared flow: parse Options -> build
+policy/denoiser/solver -> wrap for multi-device -> Evaluator or Trainer;
+e.g. /root/reference/tasks/csmri/main.py:70-97).
+
+Usage:
+  python -m tfpnp_tpu --task csmri --solver admm [--eval -r CKPT] ...
+"""
+
+from __future__ import annotations
+
+import importlib
+import pickle
+from pathlib import Path
+
+import jax
+
+from .eval.evaluator import Evaluator
+from .models.actor import actor_spec_for
+from .parallel.mesh import batch_sharder, make_mesh
+from .pnp.denoiser import load_denoiser
+from .pnp.tv import TVDenoiser
+from .rl.trainer import MDDPGTrainer, TrainConfig
+from .utils.log import Logger
+from .utils.options import Options
+
+
+def main(argv=None):
+    opt = Options().parse(argv)
+    logger = Logger(opt.output)
+    logger.log(f"devices: {jax.devices()}")
+
+    if opt.denoiser == "tv":
+        denoiser = TVDenoiser()
+    else:
+        denoiser = load_denoiser(opt.denoiser_ckpt)
+
+    task = importlib.import_module(f"tfpnp_tpu.tasks.{opt.task}")
+    env, sample_data, eval_sets, solver_name, lr_schedule = task.build(opt, denoiser)
+    logger.log(f"task={opt.task} solver={solver_name} pack={opt.action_pack} "
+               f"steps={opt.max_episode_step}")
+
+    ranges, actor = actor_spec_for(solver_name, opt.action_pack)
+    mesh = make_mesh(opt.mesh_dp)
+    shard = batch_sharder(mesh)
+    eval_sets = {k: shard(v) for k, v in eval_sets.items()}
+
+    evaluator = Evaluator(env, actor, ranges, eval_sets,
+                          save_dir=f"{opt.output}/eval_results", logger=logger)
+
+    if opt.eval:
+        assert opt.resume, "--eval needs --resume CKPT"
+        with open(opt.resume, "rb") as f:
+            state = pickle.load(f)
+        variables = {"params": state["actor_params"],
+                     "batch_stats": state["actor_stats"]}
+        variables = jax.tree.map(jax.numpy.asarray, variables)
+        evaluator.eval(variables, step=opt.resume_step or 0)
+        return
+
+    cfg = TrainConfig(
+        train_steps=opt.train_steps, env_batch=opt.env_batch,
+        max_episode_step=opt.max_episode_step, action_pack=opt.action_pack,
+        rmsize=opt.rmsize, warmup=opt.warmup, discount=opt.discount,
+        tau=opt.tau, loop_penalty=opt.loop_penalty, lambda_e=opt.lambda_e,
+        episode_train_times=opt.episode_train_times,
+        validate_interval=opt.validate_interval, save_freq=opt.save_freq,
+        seed=opt.seed)
+    trainer = MDDPGTrainer(cfg, env, actor, ranges, sample_data, lr_schedule,
+                           evaluator=evaluator, log_dir=opt.output,
+                           logger=logger, shard_batch=shard)
+    if opt.resume:
+        trainer.load(opt.resume)
+    trainer.train()
+    trainer.save(Path(opt.output) / "ckpt" / "final.pkl", opt.train_steps)
+
+
+if __name__ == "__main__":
+    main()

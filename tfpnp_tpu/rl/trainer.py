@@ -1,0 +1,340 @@
+"""MDDPG trainer: hybrid A2C (discrete stop) + DDPG (continuous params).
+
+Re-design of /root/reference/tfpnp/trainer/mddpg/trainer.py. The algorithm
+is identical; the execution model is TPU-native:
+
+- **rollout**: the whole episode is one jitted ``lax.scan`` over
+  ``max_episode_step`` — policy forward, solver bundle, masked merge,
+  delta-PSNR reward per step (the reference steps Python-side per
+  iteration, trainer.py:69-84). Per-step observations stream back to the
+  host once per episode for replay insertion.
+- **update**: one jitted step computes both losses and applies both Adams:
+    actor loss  = -(logpi(stop) * sg(advantage)            [A2C, :179-187]
+                    + (gamma * (1 - stop) * V(ob2) + r)     [DDPG, :189-192]
+                    + lambda_e * entropy).mean()            [:194-197]
+    critic loss = MSE(sg(r + gamma * (1 - stop) * V_target(ob2)), V(ob))
+  where r flows through the differentiable one-step world model
+  (``env.forward`` == ``run_bundle`` under ``jax.grad``) and through the
+  frozen denoiser — the exact-gradient trick that defines MDDPG
+  (reference env/base.py:193-206, trainer.py:171-197).
+- grads are clipped to global-norm 50 (:203,208); the critic target is
+  Polyak-averaged with tau (:212); learning rates follow the caller's
+  schedule (:158-163) and are traced arguments, not recompile triggers.
+- **checkpointing** saves the FULL train state (params, batch stats,
+  critic + target, both optimizer states, step, RNG) — closing the
+  reference's acknowledged resume gaps (docs/todo.md:9; it saves only
+  actor/critic weights, trainer.py:243-263).
+
+Data parallelism: batches are sharded over the mesh 'dp' axis by the caller
+(``tfpnp_tpu.parallel``); every mean in the losses and in BN statistics then
+lowers to ICI collectives via GSPMD — the reference's DataParallel +
+sync-BN machinery (736 LoC) is replaced by array placement.
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..env.base import PnPEnv
+from ..models.actor import ResNetActor, policy_apply
+from ..models.critic import ResNetCritic
+from ..utils.log import Logger
+from .replay import ReplayBuffer
+
+__all__ = ["MDDPGTrainer", "TrainConfig"]
+
+
+@dataclass
+class TrainConfig:
+    """Mirrors the reference Options fields that matter to training
+    (utils/options.py:14-35)."""
+
+    train_steps: int = 15000
+    env_batch: int = 48
+    max_episode_step: int = 6
+    action_pack: int = 5
+    rmsize: int = 480
+    warmup: int = 20
+    discount: float = 0.99
+    tau: float = 0.001
+    loop_penalty: float = 0.05
+    lambda_e: float = 0.2
+    episode_train_times: int = 10
+    validate_interval: int = 50
+    save_freq: int = 1000
+    grad_clip: float = 50.0
+    seed: int = 1234
+
+
+def _tx():
+    # clip-then-adam, matching clip_grad_norm_ + Adam (trainer.py:203-209);
+    # the learning rate is applied manually so the schedule is a traced arg
+    return optax.chain(optax.clip_by_global_norm(50.0), optax.scale_by_adam())
+
+
+class MDDPGTrainer:
+    """Joint actor/critic trainer.
+
+    Args:
+      env:          a ``PnPEnv``.
+      actor:        ``ResNetActor`` module (built via ``actor_spec_for``).
+      action_ranges: per-key (scale, shift).
+      sample_data:  host callback ``(jax key) -> data dict`` producing a
+                    fresh measurement batch (the reference's DataLoader +
+                    data_transform boundary, env/base.py:124-134).
+      lr_schedule:  ``step -> {'actor': lr, 'critic': lr}``
+                    (tasks/csmri/main.py:53-57).
+      evaluator:    optional ``Evaluator``; run every ``validate_interval``
+                    episodes and at ``save_freq`` (trainer.py:87-93,122-125).
+    """
+
+    def __init__(self, cfg: TrainConfig, env: PnPEnv, actor: ResNetActor,
+                 action_ranges: Dict[str, Any],
+                 sample_data: Callable[[jax.Array], Any],
+                 lr_schedule: Callable[[int], Dict[str, float]],
+                 evaluator=None, log_dir: str = "logs/run",
+                 logger: Optional[Logger] = None,
+                 shard_batch: Callable[[Any], Any] = lambda x: x):
+        self.cfg = cfg
+        self.env = env
+        self.actor = actor
+        self.action_ranges = dict(action_ranges)
+        self.sample_data = sample_data
+        self.lr_schedule = lr_schedule
+        self.evaluator = evaluator
+        self.logger = logger or Logger(log_dir)
+        self.shard = shard_batch
+
+        self.buffer = ReplayBuffer(cfg.rmsize * cfg.max_episode_step)
+        self.rng = np.random.default_rng(cfg.seed)
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+        # --- parameter/optimizer state ------------------------------------
+        self.key, k1, k2 = jax.random.split(self.key, 3)
+        data0 = sample_data(jax.random.PRNGKey(0))
+        obs0 = env.observe(env.reset(data0))
+        avars = actor.init(k1, obs0[:1], use_running_average=False)
+        self.actor_params = avars["params"]
+        self.actor_stats = avars.get("batch_stats", {})
+        critic = ResNetCritic()
+        self.critic = critic
+        self.critic_params = critic.init(k2, obs0[:1])["params"]
+        self.target_params = jax.tree.map(jnp.copy, self.critic_params)  # hard sync (:53)
+        self.tx = _tx()
+        self.actor_opt = self.tx.init(self.actor_params)
+        self.critic_opt = self.tx.init(self.critic_params)
+        self.start_step = 1
+
+        self._rollout = jax.jit(self._rollout_impl)
+        self._update = jax.jit(self._update_impl)
+
+    # ------------------------------------------------------------------ #
+    # rollout                                                             #
+    # ------------------------------------------------------------------ #
+
+    def _rollout_impl(self, actor_params, actor_stats, data, key):
+        """Run one full episode; returns stacked per-step replay obs and
+        bookkeeping. Equivalent to the reference's per-step loop
+        (trainer.py:69-84) under one scan."""
+        env = self.env
+        state0 = env.reset(data)
+
+        def step_fn(carry, key_t):
+            state = carry
+            obs = env.observe(state)
+            k_pol, k_solver = jax.random.split(key_t)
+            action, _, _, _ = policy_apply(
+                self.actor, {"params": actor_params, "batch_stats": actor_stats},
+                obs, self.action_ranges, k_pol, stochastic=True,
+                use_running_average=True)
+            # replay entry: everything needed to re-simulate this decision
+            entry = {"solver": state["solver"], "T": state["T"]}
+            alive_before = state["alive"]
+            state, reward, done, _ = env.step(state, action, k_solver)
+            return state, (entry, alive_before, reward)
+
+        keys = jax.random.split(key, self.cfg.max_episode_step)
+        final, (entries, alive, rewards) = jax.lax.scan(step_fn, state0, keys)
+        psnr_final = final["last_psnr"]
+        return entries, alive, rewards, psnr_final
+
+    # ------------------------------------------------------------------ #
+    # update                                                              #
+    # ------------------------------------------------------------------ #
+
+    def _update_impl(self, actor_params, actor_stats, critic_params,
+                     target_params, actor_opt, critic_opt, batch, key, lr_a, lr_c):
+        env = self.env
+        cfg = self.cfg
+        data, solver_state, T = batch["data"], batch["solver"], batch["T"]
+        k_pol, k_solver = jax.random.split(key)
+
+        def actor_loss_fn(a_params):
+            obs = env.observe_from(data, solver_state, T)
+            action, logp, entropy, new_stats = policy_apply(
+                self.actor, {"params": a_params, "batch_stats": actor_stats},
+                obs, self.action_ranges, k_pol, stochastic=True,
+                use_running_average=False, mutable=True)
+            new_state, reward = env.forward(data, solver_state, action, k_solver)
+            reward = reward - cfg.loop_penalty  # (:174)
+            obs2 = env.observe_from(data, new_state, T + 1.0 / cfg.max_episode_step)
+
+            cont = (cfg.discount * (1.0 - action["idx_stop"].astype(jnp.float32)))
+            v_cur = self.critic.apply({"params": critic_params}, obs)[:, 0]
+            v_next_t = self.critic.apply({"params": target_params}, obs2)[:, 0]
+            q_target = cont * v_next_t + reward              # (:182-185)
+            advantage = jax.lax.stop_gradient(q_target - v_cur)
+            a2c = logp * advantage                           # (:186-187)
+            v_next = self.critic.apply({"params": critic_params}, obs2)[:, 0]
+            ddpg = cont * v_next + reward                    # (:189-192)
+            policy_loss = -jnp.mean(a2c + ddpg + cfg.lambda_e * entropy)
+            aux = (new_stats, obs, q_target, jnp.mean(entropy))
+            return policy_loss, aux
+
+        (policy_loss, (new_stats, obs, q_target, mean_ent)), a_grads = \
+            jax.value_and_grad(actor_loss_fn, has_aux=True)(actor_params)
+
+        def critic_loss_fn(c_params):
+            v_cur = self.critic.apply({"params": c_params}, obs)[:, 0]
+            return jnp.mean((jax.lax.stop_gradient(q_target) - v_cur) ** 2)
+
+        value_loss, c_grads = jax.value_and_grad(critic_loss_fn)(critic_params)
+
+        a_norm = optax.global_norm(a_grads)
+        c_norm = optax.global_norm(c_grads)
+        a_updates, actor_opt = self.tx.update(a_grads, actor_opt, actor_params)
+        actor_params = jax.tree.map(lambda p, u: p - lr_a * u, actor_params, a_updates)
+        c_updates, critic_opt = self.tx.update(c_grads, critic_opt, critic_params)
+        critic_params = jax.tree.map(lambda p, u: p - lr_c * u, critic_params, c_updates)
+
+        # Polyak soft update (misc.py:81-86, trainer.py:212)
+        target_params = jax.tree.map(
+            lambda t, s: t * (1.0 - cfg.tau) + s * cfg.tau, target_params, critic_params)
+
+        metrics = {"Q": -policy_loss, "critic_loss": value_loss,
+                   "dist_entropy": mean_ent, "actor_norm": a_norm,
+                   "critic_norm": c_norm}
+        return (actor_params, new_stats, critic_params, target_params,
+                actor_opt, critic_opt, metrics)
+
+    # ------------------------------------------------------------------ #
+    # main loop                                                           #
+    # ------------------------------------------------------------------ #
+
+    def train(self):
+        cfg = self.cfg
+        episode = 0
+        step = self.start_step
+        best_eval = -np.inf
+        t_stamp = time.time()
+
+        while step <= cfg.train_steps:
+            # ---- one episode of experience -------------------------------
+            self.key, k_data, k_roll = jax.random.split(self.key, 3)
+            data = self.shard(self.sample_data(k_data))
+            entries, alive, rewards, psnr_final = self._rollout(
+                self.actor_params, self.actor_stats, data, k_roll)
+
+            # host: insert per-step observations (only alive rows), like
+            # save_experience (trainer.py:224-234)
+            entries = jax.device_get(entries)
+            alive_np = np.asarray(alive)
+            data_np = jax.device_get(data)
+            for t in range(cfg.max_episode_step):
+                entry_t = jax.tree.map(lambda a: a[t], entries)
+                entry_t = {"data": data_np, **entry_t}
+                self.buffer.store_batch(entry_t, alive_np[t])
+            steps_this_episode = int(alive_np.sum(0).max())
+            step += cfg.max_episode_step  # reference counts env steps (:69)
+            episode += 1
+
+            interval_time = time.time() - t_stamp
+            t_stamp = time.time()
+
+            # ---- policy/value updates ------------------------------------
+            result = {"Q": 0.0, "dist_entropy": 0.0, "critic_loss": 0.0}
+            if episode > cfg.warmup:
+                lr = self.lr_schedule(step)
+                for _ in range(cfg.episode_train_times):
+                    batch = self.buffer.sample(cfg.env_batch, self.rng)
+                    batch = self.shard(jax.tree.map(jnp.asarray, batch))
+                    self.key, k_up = jax.random.split(self.key)
+                    (self.actor_params, self.actor_stats, self.critic_params,
+                     self.target_params, self.actor_opt, self.critic_opt,
+                     metrics) = self._update(
+                        self.actor_params, self.actor_stats, self.critic_params,
+                        self.target_params, self.actor_opt, self.critic_opt,
+                        batch, k_up, lr["actor"], lr["critic"])
+                result = {k: float(v) for k, v in metrics.items()}
+
+                if self.evaluator is not None and episode % cfg.validate_interval == 0:
+                    eval_psnr = self.evaluator.eval(self.actor_variables(), step)
+                    if eval_psnr > best_eval:
+                        best_eval = eval_psnr
+                        self.save(Path(self.logger.log_dir) / "ckpt" / "best.pkl", step)
+
+            train_time = time.time() - t_stamp
+            mean_reward = float(np.asarray(rewards).sum(0).mean())
+            self.logger.log(
+                f"#{episode}: steps {step} | RPM {self.buffer.size}/{self.buffer.capacity}"
+                f" | psnr {float(np.asarray(psnr_final).mean()):.2f}"
+                f" | acc_reward {mean_reward:.2f}"
+                f" | rollout {interval_time:.2f}s train {train_time:.2f}s | "
+                + " | ".join(f"{k}: {v:.3f}" for k, v in result.items()))
+            self.logger.scalars(step, {"episode": episode, "psnr": float(np.asarray(psnr_final).mean()),
+                                       "acc_reward": mean_reward, **result})
+
+            if step % cfg.save_freq < cfg.max_episode_step:
+                self.save(Path(self.logger.log_dir) / "ckpt" / f"step_{step:07d}.pkl", step)
+            t_stamp = time.time()
+
+    # ------------------------------------------------------------------ #
+    # checkpoint / resume                                                 #
+    # ------------------------------------------------------------------ #
+
+    def actor_variables(self):
+        return {"params": self.actor_params, "batch_stats": self.actor_stats}
+
+    def save(self, path, step: int):
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        state = {
+            "step": step,
+            "actor_params": self.actor_params,
+            "actor_stats": self.actor_stats,
+            "critic_params": self.critic_params,
+            "target_params": self.target_params,
+            "actor_opt": self.actor_opt,
+            "critic_opt": self.critic_opt,
+            "key": self.key,
+            "np_rng": self.rng.bit_generator.state,
+        }
+        host = jax.tree.map(lambda a: np.asarray(a), state)
+        with open(path, "wb") as f:
+            pickle.dump(host, f)
+        self.logger.log(f"saved checkpoint -> {path}")
+
+    def load(self, path):
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        to_dev = lambda tree: jax.tree.map(jnp.asarray, tree)
+        self.actor_params = to_dev(state["actor_params"])
+        self.actor_stats = to_dev(state["actor_stats"])
+        self.critic_params = to_dev(state["critic_params"])
+        self.target_params = to_dev(state["target_params"])
+        self.actor_opt = to_dev(state["actor_opt"])
+        self.critic_opt = to_dev(state["critic_opt"])
+        self.key = jnp.asarray(state["key"])
+        self.rng.bit_generator.state = state["np_rng"]
+        self.start_step = int(state["step"]) + 1
+        self.logger.log(f"resumed from {path} at step {self.start_step}")

@@ -1,0 +1,132 @@
+"""CS-MRI task: masked-Fourier forward model, observation packing, data.
+
+Re-design of /root/reference/tasks/csmri/{env.py,dataset.py}. Measurement
+synthesis runs jitted on device (TPU-first data pipeline) from clean images;
+sampling masks are procedural golden-angle radial spokes matching the
+reference's radial_128_{2,4,8} acceleration ladder (its .mat masks are not
+distributed).
+
+Data dict fields:
+  ``gt``      [B, H, W] float
+  ``y0``      [B, H, W] complex   masked noisy k-space
+  ``mask``    [B, H, W] bool
+  ``x0``      [B, H, W] complex   zero-filled recon (== ATy0)
+  ``sigma_n`` [B] float
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fft import fft2c, ifft2c, complex2channel, complex2real
+
+OB_BASE_DIM = 6  # reference tasks/csmri/env.py:10
+
+
+@functools.lru_cache(maxsize=None)
+def radial_mask(n: int, accel: int, seed: int = 0) -> np.ndarray:
+    """Pseudo-radial Cartesian sampling mask at ~1/accel sampling rate.
+
+    Golden-angle spokes through the k-space center, rasterized onto the
+    grid — the procedural stand-in for the reference's radial_128_x masks
+    (tasks/csmri/main.py:22).
+    """
+    n_spokes = max(2, int(round(n / accel * 0.82)))
+    mask = np.zeros((n, n), bool)
+    c = (n - 1) / 2.0
+    golden = np.pi * (3 - np.sqrt(5))
+    rng = np.random.RandomState(seed)
+    theta0 = rng.uniform(0, np.pi)
+    t = np.linspace(-0.75 * n, 0.75 * n, 4 * n)
+    for k in range(n_spokes):
+        th = theta0 + k * golden
+        rows = np.clip(np.round(c + t * np.sin(th)), 0, n - 1).astype(int)
+        cols = np.clip(np.round(c + t * np.cos(th)), 0, n - 1).astype(int)
+        mask[rows, cols] = True
+    return mask
+
+
+def make_data(key: jax.Array, gt: jnp.ndarray, masks: jnp.ndarray,
+              sigma_list: Sequence[float] = (5.0, 10.0, 15.0)):
+    """Synthesize a CS-MRI measurement batch on device.
+
+    Mirrors CSMRIDataset.__getitem__ (tasks/csmri/dataset.py:27-76): random
+    mask per sample, discrete noise level, complex Gaussian noise added in
+    k-space before masking.
+
+    Args:
+      gt:    [B, H, W] clean images in [0, 1].
+      masks: [M, H, W] bool mask bank (e.g. the x2/x4/x8 ladder).
+    """
+    b = gt.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    midx = jax.random.randint(k1, (b,), 0, masks.shape[0])
+    mask = masks[midx]
+    sidx = jax.random.randint(k2, (b,), 0, len(sigma_list))
+    sigma_n = jnp.asarray(sigma_list, jnp.float32)[sidx] / 255.0
+
+    y = fft2c(gt.astype(jnp.complex64))
+    noise = jax.random.normal(k3, y.shape + (2,))
+    y = y + sigma_n[:, None, None] * (noise[..., 0] + 1j * noise[..., 1])
+    y0 = jnp.where(mask, y, 0.0)
+    x0 = ifft2c(y0)
+    return {"gt": gt, "y0": y0, "mask": mask, "x0": x0, "sigma_n": sigma_n}
+
+
+def build(opt, denoiser):
+    """Wire up the CS-MRI task for the CLI (mirrors tasks/csmri/main.py).
+
+    Returns (env, sample_data, eval_sets, solver_name, lr_schedule).
+    Eval sets: 7 fixed images x {x2, x4, x8} radial masks at sigma_n = 15
+    (the Medical7_2020 protocol, tasks/csmri/main.py:22-39, with procedural
+    images/masks since the reference's data is not distributed).
+    """
+    from ..data.synthetic import random_images
+    from ..env.base import PnPEnv
+    from ..pnp.solvers import get_solver
+
+    n = opt.image_size
+    solver_name = f"csmri_{opt.solver}"
+    solver = get_solver(solver_name, denoiser)
+    env = PnPEnv(solver, pack_obs, max_episode_step=opt.max_episode_step)
+
+    masks = jnp.asarray(np.stack([radial_mask(n, a) for a in (2, 4, 8)]))
+
+    def sample_data(key):
+        k1, k2 = jax.random.split(key)
+        gt = random_images(k1, opt.env_batch, n)
+        return make_data(k2, gt, masks, sigma_list=(5.0, 10.0, 15.0))
+
+    eval_sets = {}
+    for i, accel in enumerate((2, 4, 8)):
+        k = jax.random.PRNGKey(7000 + i)
+        gt = random_images(k, 7, n)
+        eval_sets[f"radial_{n}_{accel}_15"] = make_data(
+            jax.random.fold_in(k, 1), gt, masks[i:i + 1], sigma_list=(15.0,))
+
+    def lr_schedule(step):  # tasks/csmri/main.py:53-57
+        if step < 10000:
+            return {"critic": 3e-4, "actor": 1e-3}
+        return {"critic": 1e-4, "actor": 3e-4}
+
+    return env, sample_data, eval_sets, solver_name, lr_schedule
+
+
+def pack_obs(data, var_channels: jnp.ndarray, t_map: jnp.ndarray) -> jnp.ndarray:
+    """Policy observation, channel layout per reference
+    tasks/csmri/env.py:14-23: variables | y0(2ch) | ATy0 | mask | T | sigma_n."""
+    b, h, w, _ = var_channels.shape
+    sig = jnp.broadcast_to(data["sigma_n"].reshape(b, 1, 1, 1), (b, h, w, 1))
+    return jnp.concatenate([
+        var_channels,
+        complex2channel(data["y0"]),
+        complex2real(data["x0"])[..., None],
+        data["mask"].astype(jnp.float32)[..., None],
+        t_map,
+        sig,
+    ], axis=-1)

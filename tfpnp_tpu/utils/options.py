@@ -1,0 +1,56 @@
+"""CLI options — mirrors the reference's single argparse namespace
+(/root/reference/tfpnp/utils/options.py:8-61), plus TPU-native flags
+(--mesh_dp for data-parallel width, --image_size, --denoiser_ckpt)."""
+
+from __future__ import annotations
+
+import argparse
+import random
+
+import numpy as np
+
+__all__ = ["Options"]
+
+
+class Options:
+    def __init__(self):
+        p = argparse.ArgumentParser(
+            description="tfpnp_tpu: tuning-free plug-and-play proximal algorithm (TPU)")
+        p.add_argument("--task", default="csmri",
+                       choices=["csmri", "pr", "ct", "spi"], help="inverse problem")
+        p.add_argument("--exp", default="csmri_admm_5x6_48", type=str)
+        p.add_argument("--warmup", default=20, type=int,
+                       help="episodes that only fill the replay memory")
+        p.add_argument("--discount", default=0.99, type=float)
+        p.add_argument("--rmsize", default=480, type=int)
+        p.add_argument("--env_batch", default=48, type=int)
+        p.add_argument("--tau", default=0.001, type=float)
+        p.add_argument("--max_episode_step", default=6, type=int)
+        p.add_argument("--train_steps", default=15000, type=int)
+        p.add_argument("--validate_interval", default=50, type=int)
+        p.add_argument("--save_freq", default=1000, type=int)
+        p.add_argument("--episode_train_times", default=10, type=int)
+        p.add_argument("--resume", "-r", default=None, type=str)
+        p.add_argument("--resume_step", "-rs", default=None, type=int)
+        p.add_argument("--eval", action="store_true")
+        p.add_argument("--seed", default=1234, type=int)
+        p.add_argument("--loop_penalty", "-lp", type=float, default=0.05)
+        p.add_argument("--action_pack", "-ap", type=int, default=5)
+        p.add_argument("--lambda_e", "-le", type=float, default=0.2)
+        p.add_argument("--denoiser", type=str, default="unet",
+                       choices=["unet", "tv"], help="prior (tv needs no weights)")
+        p.add_argument("--denoiser_ckpt", type=str, default=None)
+        p.add_argument("--solver", type=str, default="admm")
+        p.add_argument("--image_size", type=int, default=128)
+        p.add_argument("--mesh_dp", type=int, default=None,
+                       help="data-parallel mesh width (default: all devices)")
+        p.add_argument("--log_root", type=str, default="logs")
+        p.add_argument("--debug", action="store_true")
+        self.parser = p
+
+    def parse(self, argv=None):
+        opt = self.parser.parse_args(argv)
+        random.seed(opt.seed)
+        np.random.seed(opt.seed)
+        opt.output = f"{opt.log_root}/{opt.exp}"
+        return opt

@@ -59,8 +59,11 @@ def bench_tpu():
     gt = random_images(jax.random.PRNGKey(1), BATCH, SIZE)
     data = csmri.make_data(jax.random.PRNGKey(2), gt, masks, sigma_list=(15.0,))
 
-    hyper = {"sigma_d": jnp.full((BATCH, PACK * STEPS), 10 / 255),
-             "mu": jnp.full((BATCH, PACK * STEPS), 0.1)}
+    # numpy constants: closure-captured arrays embed into the program at
+    # trace time without a device round-trip
+    import numpy as _np
+    hyper = {"sigma_d": _np.full((BATCH, PACK * STEPS), 10 / 255, _np.float32),
+             "mu": _np.full((BATCH, PACK * STEPS), 0.1, _np.float32)}
 
     @jax.jit
     def episode(data):

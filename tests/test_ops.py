@@ -48,6 +48,22 @@ class TestFFT:
         np.testing.assert_allclose(out[..., 2], jnp.real(x[:, 1]))
         np.testing.assert_allclose(out[..., 3], jnp.imag(x[:, 1]))
 
+    def test_matmul_dft_matches_fft(self):
+        # the MXU path: DFT as two complex matmuls must equal the FFT path
+        from tfpnp_tpu.ops.fft import _dft2_matmul
+        x = (jax.random.normal(KEY, (2, 32, 32))
+             + 1j * jax.random.normal(jax.random.PRNGKey(9), (2, 32, 32))).astype(jnp.complex64)
+        for centered in (True, False):
+            for inverse in (True, False):
+                got = _dft2_matmul(x, centered=centered, inverse=inverse)
+                fn = jnp.fft.ifft2 if inverse else jnp.fft.fft2
+                if centered:
+                    want = jnp.fft.fftshift(fn(jnp.fft.ifftshift(x, axes=(-2, -1)),
+                                               norm="ortho"), axes=(-2, -1))
+                else:
+                    want = fn(x, norm="ortho")
+                np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
     def test_csmri_normal_op_opnorm_is_one(self):
         # The masked-Fourier normal operator has opnorm 1 (projection);
         # reference asserts this informally at transforms.py:533-534.

@@ -66,7 +66,9 @@ class Evaluator:
 
         final, (alive, psnr_seq, actions) = jax.lax.scan(
             step_fn, state0, jnp.arange(env.max_episode_step))
-        iters = jnp.sum(alive.astype(jnp.int32), axis=0)
+        # everything returned to the host is float32 (see utils/codec.py)
+        alive = alive.astype(jnp.float32)
+        iters = jnp.sum(alive, axis=0)
         output = env.solver.get_output(final["solver"])
         return psnr0, final["last_psnr"], iters, psnr_seq, actions, output, alive
 

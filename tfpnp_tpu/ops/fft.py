@@ -18,7 +18,11 @@ real/imag NHWC channels, matching the channel ordering of the reference's
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "fft2c",
@@ -31,6 +35,60 @@ __all__ = [
     "complex2channel",
 ]
 
+# FFT backend. "matmul" computes the 2-D DFT as two small complex matmuls
+# (Y = F_h X F_w^T) — at PnP image sizes (128-512) this runs on the MXU
+# systolic array instead of the scalar FFT butterfly path, and it is the
+# only path supported by some partial TPU runtimes. "xla" uses jnp.fft.
+# Matmul is the default on TPU; override with TFPNP_FFT=xla|matmul.
+_FFT_BACKEND = os.environ.get("TFPNP_FFT", "auto")
+
+
+def _use_matmul() -> bool:
+    if _FFT_BACKEND == "matmul":
+        return True
+    if _FFT_BACKEND == "xla":
+        return False
+    try:
+        import jax
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_mat(n: int, centered: bool, inverse: bool):
+    """1-D orthonormal DFT as a dense matrix (optionally with the
+    fftshift/ifftshift pair folded in). Returns (real, imag) float32
+    *numpy* arrays — trace-time constants must be host arrays so they embed
+    directly into the program instead of forcing a device round-trip."""
+    eye = np.eye(n)
+    fn = np.fft.ifft if inverse else np.fft.fft
+    if centered:
+        m = np.fft.fftshift(fn(np.fft.ifftshift(eye, axes=0), axis=0, norm="ortho"), axes=0)
+    else:
+        m = fn(eye, axis=0, norm="ortho")
+    return (np.asarray(m.real, np.float32), np.asarray(m.imag, np.float32))
+
+
+def _dft2_matmul(x: jnp.ndarray, centered: bool, inverse: bool) -> jnp.ndarray:
+    """Y = F_h @ X @ F_w^T via real matmuls (MXU), complex in/out."""
+    h, w = x.shape[-2], x.shape[-1]
+    fr_h, fi_h = _dft_mat(h, centered, inverse)
+    fr_w, fi_w = _dft_mat(w, centered, inverse)
+    xr, xi = jnp.real(x), jnp.imag(x)
+    # rows: (fr + i fi) @ (xr + i xi)
+    yr = jnp.einsum("ij,...jk->...ik", fr_h, xr) - jnp.einsum("ij,...jk->...ik", fi_h, xi)
+    yi = jnp.einsum("ij,...jk->...ik", fr_h, xi) + jnp.einsum("ij,...jk->...ik", fi_h, xr)
+    # cols: Y @ F_w^T
+    zr = jnp.einsum("...ik,jk->...ij", yr, fr_w) - jnp.einsum("...ik,jk->...ij", yi, fi_w)
+    zi = jnp.einsum("...ik,jk->...ij", yi, fr_w) + jnp.einsum("...ik,jk->...ij", yr, fi_w)
+    return jax_lax_complex(zr, zi)
+
+
+def jax_lax_complex(r, i):
+    import jax
+    return jax.lax.complex(r, i)
+
 
 def fft2c(x: jnp.ndarray) -> jnp.ndarray:
     """Centered orthonormal FFT2 over the last two axes.
@@ -38,6 +96,8 @@ def fft2c(x: jnp.ndarray) -> jnp.ndarray:
     Matches reference ``transforms.fft2`` (transforms.py:68-84):
     ifftshift -> unitary FFT -> fftshift.
     """
+    if _use_matmul():
+        return _dft2_matmul(x.astype(jnp.complex64), centered=True, inverse=False)
     x = jnp.fft.ifftshift(x, axes=(-2, -1))
     x = jnp.fft.fft2(x, norm="ortho")
     return jnp.fft.fftshift(x, axes=(-2, -1))
@@ -48,6 +108,8 @@ def ifft2c(x: jnp.ndarray) -> jnp.ndarray:
 
     Matches reference ``transforms.ifft2`` (transforms.py:87-103).
     """
+    if _use_matmul():
+        return _dft2_matmul(x.astype(jnp.complex64), centered=True, inverse=True)
     x = jnp.fft.ifftshift(x, axes=(-2, -1))
     x = jnp.fft.ifft2(x, norm="ortho")
     return jnp.fft.fftshift(x, axes=(-2, -1))
@@ -56,11 +118,15 @@ def ifft2c(x: jnp.ndarray) -> jnp.ndarray:
 def fft2(x: jnp.ndarray) -> jnp.ndarray:
     """Uncentered orthonormal FFT2 (used by the CDP operator,
     reference transforms.py:300 calls torch.fft without shifts)."""
+    if _use_matmul():
+        return _dft2_matmul(x.astype(jnp.complex64), centered=False, inverse=False)
     return jnp.fft.fft2(x, norm="ortho")
 
 
 def ifft2(x: jnp.ndarray) -> jnp.ndarray:
     """Uncentered orthonormal inverse FFT2."""
+    if _use_matmul():
+        return _dft2_matmul(x.astype(jnp.complex64), centered=False, inverse=True)
     return jnp.fft.ifft2(x, norm="ortho")
 
 

@@ -1,0 +1,166 @@
+"""Pallas TPU kernels for hot element-wise ops + exact implicit gradients.
+
+The SPI likelihood prox (ops/spi.py) is the hottest non-conv op in the SPI
+task: a 10-step bisection of a transcendental equation per pixel, per inner
+iteration. Two upgrades over the plain XLA lowering:
+
+1. **Fused Pallas kernel** (TPU): the whole bisection runs on VPU registers
+   over VMEM tiles — one HBM read per operand and one write, instead of
+   round-trips between the 10 loop iterations if XLA chooses not to fuse.
+
+2. **Exact custom VJP via the implicit function theorem**: the root y* of
+     f(y) = K1/(e^y - 1) - mu*y - K0 + mu*ztilde = 0
+   has exact sensitivities dy*/dtheta = -f_theta / f_y:
+     f_y        = -K1 e^y/(e^y - 1)^2 - mu
+     df/dzt     = mu
+     df/dmu     = zt - y
+     df/dK1     = 1/(e^y - 1) + 1            (K0 = K^2 - K1)
+   The reference backpropagates through the unrolled "differentiable binary
+   search" (transforms.py:421-438) — a piecewise-constant approximation;
+   the implicit gradient is both exact and 10x cheaper in the backward pass.
+
+``spi_inverse_fused`` is a drop-in replacement for ``ops.spi.spi_inverse``
+(same clamp/branch semantics). Set ``TFPNP_NO_PALLAS=1`` to force the XLA
+path (used on CPU test runs).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+from .spi import spi_inverse as _spi_root_xla
+
+__all__ = ["spi_inverse_fused"]
+
+
+def _on_tpu() -> bool:
+    if os.environ.get("TFPNP_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+# --------------------------------------------------------------------- #
+# Pallas forward kernel                                                  #
+# --------------------------------------------------------------------- #
+
+def _bisect_kernel(zt_ref, k1_ref, k0_ref, mu_ref, out_ref):
+    zt = zt_ref[:]
+    k1 = k1_ref[:]
+    k0 = k0_ref[:]
+    mu = mu_ref[:]
+
+    bmin = jnp.full_like(zt, 1e-5)
+    bmax = jnp.full_like(zt, 1.1)
+    bave = (bmin + bmax) * 0.5
+
+    def body(_, carry):
+        bmin, bmax, bave = carry
+        t = k1 / (jnp.exp(bave) - 1.0) - mu * bave - k0 + mu * zt
+        bmin = jnp.where(t > 0, bave, bmin)
+        bmax = jnp.where(t < 0, bave, bmax)
+        bave = jnp.where(t == 0, bave, (bmin + bmax) * 0.5)
+        return bmin, bmax, bave
+
+    _, _, bave = jax.lax.fori_loop(0, 10, body, (bmin, bmax, bave))
+    z = jnp.where(k1 == 0, zt - k0 / mu, bave)
+    out_ref[:] = jnp.clip(z, 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spi_root_pallas(zt2d, k12d, k02d, mu2d, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, n = zt2d.shape
+    block_m = min(256, m)
+    grid = (pl.cdiv(m, block_m),)
+    spec = pl.BlockSpec((block_m, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _bisect_kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), zt2d.dtype),
+        grid=grid,
+        in_specs=[spec, spec, spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(zt2d, k12d, k02d, mu2d)
+
+
+# --------------------------------------------------------------------- #
+# custom-VJP wrapper                                                     #
+# --------------------------------------------------------------------- #
+
+@jax.custom_vjp
+def spi_inverse_fused(ztilde, K1, K, mu):
+    return _fwd_value(ztilde, K1, K, mu)
+
+
+def _fwd_value(ztilde, K1, K, mu):
+    K1b = jnp.broadcast_to(K1, ztilde.shape)
+    K0b = jnp.broadcast_to(K ** 2 - K1, ztilde.shape)
+    mub = jnp.broadcast_to(mu, ztilde.shape)
+    if _on_tpu():
+        shp = ztilde.shape
+        lane = shp[-1]
+        zt2 = ztilde.reshape(-1, lane)
+        z = _spi_root_pallas(zt2, K1b.reshape(-1, lane),
+                             K0b.reshape(-1, lane), mub.reshape(-1, lane))
+        return z.reshape(shp)
+    return _spi_root_xla(ztilde, K1b, jnp.sqrt(K0b + K1b), mub)
+
+
+def _fwd(ztilde, K1, K, mu):
+    z = _fwd_value(ztilde, K1, K, mu)
+    return z, (z, ztilde, K1, K, mu)
+
+
+def _bwd(res, g):
+    z, ztilde, K1, K, mu = res
+    K1b = jnp.broadcast_to(K1, z.shape)
+    K0b = jnp.broadcast_to(K ** 2 - K1, z.shape)
+    mub = jnp.broadcast_to(mu, z.shape)
+
+    interior = (z > 0.0) & (z < 1.0)  # clip kills the gradient outside
+    zero_count = K1b == 0
+
+    # closed-form branch z = zt - K0/mu
+    dz_dzt_closed = jnp.ones_like(z)
+    dz_dmu_closed = K0b / (mub ** 2)
+
+    # implicit branch; em1 guarded so the dead (clipped / closed-form)
+    # lanes cannot produce inf * 0 = nan
+    ey = jnp.exp(z)
+    em1 = jnp.maximum(ey - 1.0, 1e-8)
+    f_y = -K1b * ey / (em1 ** 2) - mub
+    inv_fy = 1.0 / f_y
+    dz_dzt_root = -mub * inv_fy
+    dz_dmu_root = -(ztilde - z) * inv_fy
+    dz_dk1_root = -(1.0 / em1 + 1.0) * inv_fy
+
+    dz_dzt = jnp.where(zero_count, dz_dzt_closed, dz_dzt_root) * interior
+    dz_dmu = jnp.where(zero_count, dz_dmu_closed, dz_dmu_root) * interior
+    dz_dk1 = jnp.where(zero_count, 0.0, dz_dk1_root) * interior
+
+    def reduce_to(shape, arr):
+        # sum gradients over broadcast axes back to the operand shape
+        extra = arr.ndim - len(shape)
+        arr = arr.sum(axis=tuple(range(extra))) if extra else arr
+        axes = tuple(i for i, (a, b) in enumerate(zip(arr.shape, shape)) if b == 1 and a != 1)
+        if axes:
+            arr = arr.sum(axis=axes, keepdims=True)
+        return arr.reshape(shape)
+
+    g_zt = reduce_to(jnp.shape(ztilde), g * dz_dzt)
+    g_k1 = reduce_to(jnp.shape(K1), g * dz_dk1)
+    g_mu = reduce_to(jnp.shape(mu), g * dz_dmu)
+    g_k = jnp.zeros_like(jnp.asarray(K, jnp.float32))  # K is a static geometry param
+    return g_zt, g_k1, g_k, g_mu
+
+
+spi_inverse_fused.defvjp(_fwd, _bwd)

@@ -71,7 +71,10 @@ def load_denoiser(path: str | Path | None = None) -> UNetDenoiser:
             "with tfpnp_tpu.utils.convert_torch")
     with open(path, "rb") as f:
         params = pickle.load(f)
-    return UNetDenoiser(params=jax.tree.map(jnp.asarray, params))
+    # keep params as host numpy: solver closures trace them as program
+    # constants, and host arrays embed without a device round-trip
+    import numpy as np
+    return UNetDenoiser(params=jax.tree.map(np.asarray, params))
 
 
 def save_denoiser_params(params: Any, path: str | Path) -> None:

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ...ops.spi import spi_inverse
+from ...ops.pallas_kernels import spi_inverse_fused as spi_inverse
 from .base import Solver, register_solver
 
 __all__ = []

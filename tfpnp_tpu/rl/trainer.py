@@ -48,6 +48,7 @@ import optax
 from ..env.base import PnPEnv
 from ..models.actor import ResNetActor, policy_apply
 from ..models.critic import ResNetCritic
+from ..utils.codec import make_codec
 from ..utils.log import Logger
 from .replay import ReplayBuffer
 
@@ -135,6 +136,13 @@ class MDDPGTrainer:
         self.critic_opt = self.tx.init(self.critic_params)
         self.start_step = 1
 
+        # f32 wire codec: everything crossing the device<->host boundary
+        # (replay entries) travels as float32 (see utils/codec.py)
+        template = {"data": data0, "solver": env.solver.init(data0),
+                    "T": jnp.zeros((cfg.env_batch,), jnp.float32)}
+        self._encode, self._decode = make_codec(template)
+        self._encode_jit = jax.jit(self._encode)
+
         self._rollout = jax.jit(self._rollout_impl)
         self._update = jax.jit(self._update_impl)
 
@@ -157,9 +165,10 @@ class MDDPGTrainer:
                 self.actor, {"params": actor_params, "batch_stats": actor_stats},
                 obs, self.action_ranges, k_pol, stochastic=True,
                 use_running_average=True)
-            # replay entry: everything needed to re-simulate this decision
-            entry = {"solver": state["solver"], "T": state["T"]}
-            alive_before = state["alive"]
+            # replay entry: everything needed to re-simulate this decision,
+            # f32-encoded for the host transfer
+            entry = self._encode({"solver": state["solver"], "T": state["T"]})
+            alive_before = state["alive"].astype(jnp.float32)
             state, reward, done, _ = env.step(state, action, k_solver)
             return state, (entry, alive_before, reward)
 
@@ -176,6 +185,7 @@ class MDDPGTrainer:
                      target_params, actor_opt, critic_opt, batch, key, lr_a, lr_c):
         env = self.env
         cfg = self.cfg
+        batch = self._decode(batch)  # f32 wire format -> native dtypes
         data, solver_state, T = batch["data"], batch["solver"], batch["T"]
         k_pol, k_solver = jax.random.split(key)
 
@@ -231,6 +241,24 @@ class MDDPGTrainer:
     # main loop                                                           #
     # ------------------------------------------------------------------ #
 
+    def collect_episode(self, k_data, k_roll):
+        """Roll one episode and insert its per-step observations into the
+        replay buffer (only rows alive at decision time — the reference
+        stores only surviving items, trainer.py:224-234).
+
+        Returns (rewards [steps, B], psnr_final [B])."""
+        data = self.shard(self.sample_data(k_data))
+        entries, alive, rewards, psnr_final = self._rollout(
+            self.actor_params, self.actor_stats, data, k_roll)
+        entries = jax.device_get(entries)
+        alive_np = np.asarray(alive) > 0.5
+        data_np = jax.device_get(self._encode_jit(data))
+        for t in range(self.cfg.max_episode_step):
+            entry_t = jax.tree.map(lambda a: a[t], entries)
+            entry_t = {"data": data_np, **entry_t}
+            self.buffer.store_batch(entry_t, alive_np[t])
+        return rewards, psnr_final
+
     def train(self):
         cfg = self.cfg
         episode = 0
@@ -241,20 +269,7 @@ class MDDPGTrainer:
         while step <= cfg.train_steps:
             # ---- one episode of experience -------------------------------
             self.key, k_data, k_roll = jax.random.split(self.key, 3)
-            data = self.shard(self.sample_data(k_data))
-            entries, alive, rewards, psnr_final = self._rollout(
-                self.actor_params, self.actor_stats, data, k_roll)
-
-            # host: insert per-step observations (only alive rows), like
-            # save_experience (trainer.py:224-234)
-            entries = jax.device_get(entries)
-            alive_np = np.asarray(alive)
-            data_np = jax.device_get(data)
-            for t in range(cfg.max_episode_step):
-                entry_t = jax.tree.map(lambda a: a[t], entries)
-                entry_t = {"data": data_np, **entry_t}
-                self.buffer.store_batch(entry_t, alive_np[t])
-            steps_this_episode = int(alive_np.sum(0).max())
+            rewards, psnr_final = self.collect_episode(k_data, k_roll)
             step += cfg.max_episode_step  # reference counts env steps (:69)
             episode += 1
 

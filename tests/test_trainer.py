@@ -74,3 +74,39 @@ class TestTrainerEndToEnd:
         p_after = jax.device_get(trainer.actor_params)
         for a, b in zip(jax.tree.leaves(p_before), jax.tree.leaves(p_after)):
             np.testing.assert_allclose(a, b)
+
+
+class TestWireCodec:
+    def test_roundtrip_and_wire_rank(self):
+        """Complex leaves must round-trip exactly and never gain rank on
+        encode: the tunneled TPU backend rejects d2h of complex64 and of
+        rank>=5 arrays, and rollout entries gain a leading scan axis
+        before transfer (rl/trainer.py collect_episode)."""
+        from tfpnp_tpu.utils.codec import make_codec
+
+        key = jax.random.PRNGKey(0)
+        template = {
+            "x": jnp.ones((2, 8, 8), jnp.complex64),
+            "mask": jnp.ones((2, 8, 8), bool),
+            "nested": {"t": jnp.zeros((2,), jnp.float32),
+                       "i": jnp.zeros((2,), jnp.int32)},
+        }
+        tree = {
+            "x": jax.random.normal(key, (2, 8, 8))
+                 + 1j * jax.random.normal(jax.random.fold_in(key, 1), (2, 8, 8)),
+            "mask": jnp.asarray([[[True] * 8] * 8, [[False] * 8] * 8]),
+            "nested": {"t": jnp.arange(2, dtype=jnp.float32),
+                       "i": jnp.asarray([3, 4], jnp.int32)},
+        }
+        encode, decode = make_codec(template)
+        wire = encode(tree)
+        for leaf, orig in zip(jax.tree.leaves(wire), jax.tree.leaves(tree)):
+            assert leaf.dtype == jnp.float32
+            assert leaf.ndim == orig.ndim  # no rank growth
+        back = decode(wire)
+        np.testing.assert_allclose(np.asarray(back["x"]), np.asarray(tree["x"]),
+                                   atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(back["mask"]),
+                                      np.asarray(tree["mask"]))
+        np.testing.assert_array_equal(np.asarray(back["nested"]["i"]),
+                                      np.asarray(tree["nested"]["i"]))

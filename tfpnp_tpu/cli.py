@@ -55,7 +55,9 @@ def main(argv=None):
         variables = {"params": state["actor_params"],
                      "batch_stats": state["actor_stats"]}
         variables = jax.tree.map(jax.numpy.asarray, variables)
-        evaluator.eval(variables, step=opt.resume_step or 0)
+        from .utils.profiling import trace
+        with trace(f"{opt.output}/trace", enabled=opt.profile):
+            evaluator.eval(variables, step=opt.resume_step or 0)
         return
 
     cfg = TrainConfig(
@@ -71,7 +73,12 @@ def main(argv=None):
                            logger=logger, shard_batch=shard)
     if opt.resume:
         trainer.load(opt.resume)
-    trainer.train()
+    if opt.profile:
+        from .utils.profiling import trace
+        with trace(f"{opt.output}/trace"):
+            trainer.train()
+    else:
+        trainer.train()
     trainer.save(Path(opt.output) / "ckpt" / "final.pkl", opt.train_steps)
 
 

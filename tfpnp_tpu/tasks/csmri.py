@@ -86,6 +86,7 @@ def build(opt, denoiser):
     (the Medical7_2020 protocol, tasks/csmri/main.py:22-39, with procedural
     images/masks since the reference's data is not distributed).
     """
+    from ..data import gt_source
     from ..data.synthetic import random_images
     from ..env.base import PnPEnv
     from ..pnp.solvers import get_solver
@@ -97,9 +98,11 @@ def build(opt, denoiser):
 
     masks = jnp.asarray(np.stack([radial_mask(n, a) for a in (2, 4, 8)]))
 
+    sample_gt = gt_source(opt)
+
     def sample_data(key):
         k1, k2 = jax.random.split(key)
-        gt = random_images(k1, opt.env_batch, n)
+        gt = sample_gt(k1, opt.env_batch)
         return make_data(k2, gt, masks, sigma_list=(5.0, 10.0, 15.0))
 
     eval_sets = {}

@@ -51,6 +51,7 @@ def make_data(key: jax.Array, gt: jnp.ndarray, radon: Radon,
 def build(opt, denoiser):
     """Wire up the CT task (mirrors tasks/ct/main.py): 30 views, noise
     percentage in {5, 7.5, 10}% (tasks/ct/main.py:27-28)."""
+    from ..data import gt_source
     from ..data.synthetic import random_images
     from ..env.base import PnPEnv
     from ..ops.radon import RadonGenerator
@@ -63,9 +64,11 @@ def build(opt, denoiser):
     env = PnPEnv(solver, pack_obs, max_episode_step=opt.max_episode_step)
     sigma_ns = (0.05, 0.075, 0.10)
 
+    sample_gt = gt_source(opt)
+
     def sample_data(key):
         k1, k2 = jax.random.split(key)
-        gt = random_images(k1, opt.env_batch, n)
+        gt = sample_gt(k1, opt.env_batch)
         return make_data(k2, gt, radon, sigma_ns=sigma_ns)
 
     eval_sets = {}

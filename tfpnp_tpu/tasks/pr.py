@@ -63,6 +63,7 @@ def build(opt, denoiser):
     """Wire up the PR task (mirrors tasks/pr/main.py). Eval sets: 12 fixed
     images per alpha in {9, 27, 81} (the PrDeep_12 protocol,
     tasks/pr/main.py:38-49)."""
+    from ..data import gt_source
     from ..data.synthetic import random_images
     from ..env.base import PnPEnv
     from ..pnp.solvers import get_solver
@@ -73,9 +74,11 @@ def build(opt, denoiser):
     env = PnPEnv(solver, pack_obs, max_episode_step=opt.max_episode_step)
     mask = jnp.asarray(cdp_mask(n))
 
+    sample_gt = gt_source(opt)
+
     def sample_data(key):
         k1, k2 = jax.random.split(key)
-        gt = random_images(k1, opt.env_batch, n)
+        gt = sample_gt(k1, opt.env_batch)
         return make_data(k2, gt, mask, alphas=(9.0, 27.0, 81.0))
 
     eval_sets = {}

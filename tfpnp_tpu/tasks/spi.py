@@ -43,6 +43,7 @@ def build(opt, denoiser):
     host per training batch; jit caches one executable per K."""
     import numpy as np
 
+    from ..data import gt_source
     from ..data.synthetic import random_images
     from ..env.base import PnPEnv
     from ..pnp.solvers import get_solver
@@ -54,9 +55,11 @@ def build(opt, denoiser):
     env = PnPEnv(solver, pack_obs, max_episode_step=opt.max_episode_step)
     host_rng = np.random.default_rng(opt.seed)
 
+    sample_gt = gt_source(opt)
+
     def sample_data(key):
         k1, k2 = jax.random.split(key)
-        gt = random_images(k1, opt.env_batch, n)
+        gt = sample_gt(k1, opt.env_batch)
         K = int(host_rng.choice(Ks))
         return make_data(k2, gt, K=K)
 

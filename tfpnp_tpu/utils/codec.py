@@ -1,11 +1,15 @@
 """float32 wire codec for the device<->host boundary.
 
 Replay experience and eval metrics cross the device boundary every episode.
-Complex solver states are encoded as a trailing real/imag pair and
-bool/int fields as float32 — this (a) keeps host<->device traffic in the
-one dtype every TPU runtime moves at full speed (and the only d2h dtype
-the tunneled single-chip backend supports at all), and (b) makes replay
-storage uniform f32, which is what the numpy ring buffer wants anyway.
+Complex solver states are encoded as real/imag halves concatenated along
+the last axis and bool/int fields as float32 — this (a) keeps host<->device
+traffic in the one dtype every TPU runtime moves at full speed (the
+tunneled single-chip backend cannot transfer complex64 to the host at all),
+(b) makes replay storage uniform f32, which is what the numpy ring buffer
+wants anyway, and (c) never raises array rank: the same tunnel also
+rejects device->host reads of rank >= 5, and rollout entries gain a
+leading ``lax.scan`` step axis before transfer, so a [B,H,W] complex leaf
+must encode to [B,H,2W] (rank 3 -> scan rank 4), not [B,H,W,2].
 
 ``make_codec(template)`` captures the dtype tree once; ``encode`` runs
 inside the producing jit, ``decode`` inside the consuming jit — both are
@@ -29,7 +33,8 @@ def make_codec(template: Any) -> Tuple[Callable[[Any], Any], Callable[[Any], Any
         def enc(x):
             x = jnp.asarray(x)
             if jnp.issubdtype(x.dtype, jnp.complexfloating):
-                return jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1).astype(jnp.float32)
+                return jnp.concatenate(
+                    [jnp.real(x), jnp.imag(x)], axis=-1).astype(jnp.float32)
             return x.astype(jnp.float32)
 
         return jax.tree.map(enc, tree)
@@ -38,7 +43,8 @@ def make_codec(template: Any) -> Tuple[Callable[[Any], Any], Callable[[Any], Any
         def dec(x, dt):
             x = jnp.asarray(x)
             if jnp.issubdtype(dt, jnp.complexfloating):
-                return jax.lax.complex(x[..., 0], x[..., 1]).astype(dt)
+                half = x.shape[-1] // 2
+                return jax.lax.complex(x[..., :half], x[..., half:]).astype(dt)
             return x.astype(dt)
 
         return jax.tree.map(dec, tree, dtypes)

@@ -45,6 +45,11 @@ class Options:
         p.add_argument("--mesh_dp", type=int, default=None,
                        help="data-parallel mesh width (default: all devices)")
         p.add_argument("--log_root", type=str, default="logs")
+        p.add_argument("--data_root", type=str, default=None,
+                       help="folder of training images (default: procedural corpus)")
+        p.add_argument("--profile", action="store_true",
+                       help="write jax.profiler traces under <output>/trace")
+        p.add_argument("--no_compile_cache", action="store_true")
         p.add_argument("--debug", action="store_true")
         self.parser = p
 
@@ -53,4 +58,14 @@ class Options:
         random.seed(opt.seed)
         np.random.seed(opt.seed)
         opt.output = f"{opt.log_root}/{opt.exp}"
+        if not opt.no_compile_cache:
+            # persistent XLA compile cache: first compile of the episode
+            # scan is tens of seconds on TPU, subsequent runs are instant
+            import os
+
+            import jax
+            cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   str(__import__("pathlib").Path(".jax_cache").resolve()))
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         return opt

@@ -1,0 +1,54 @@
+"""Evaluator: early-exit batched greedy episodes + artifacts."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _setup(tmp_path, max_step=4):
+    from tfpnp_tpu.env.base import PnPEnv
+    from tfpnp_tpu.eval.evaluator import Evaluator
+    from tfpnp_tpu.models.actor import actor_spec_for
+    from tfpnp_tpu.pnp import get_solver
+    from tfpnp_tpu.pnp.tv import TVDenoiser
+    from tfpnp_tpu.tasks import csmri
+    from tfpnp_tpu.data.synthetic import random_images
+
+    n = 32
+    solver = get_solver("csmri_admm", TVDenoiser(n_iter=3))
+    env = PnPEnv(solver, csmri.pack_obs, max_episode_step=max_step)
+    ranges, actor = actor_spec_for("csmri_admm", 2)
+    masks = jnp.asarray(np.stack([csmri.radial_mask(n, 4)]))
+    gt = random_images(jax.random.PRNGKey(0), 3, n)
+    data = csmri.make_data(jax.random.PRNGKey(1), gt, masks)
+    obs0 = env.observe(env.reset(data))
+    avars = actor.init(jax.random.PRNGKey(2), obs0[:1], use_running_average=False)
+    ev = Evaluator(env, actor, ranges, {"setA": data}, save_dir=str(tmp_path))
+    return ev, avars
+
+
+class TestEvaluator:
+    def test_eval_metrics_and_artifacts(self, tmp_path):
+        ev, avars = _setup(tmp_path)
+        mean_psnr = ev.eval(avars, step=3)
+        assert np.isfinite(mean_psnr)
+        case = tmp_path / "setA" / "3" / "case0"
+        assert (case / "gt.png").exists()
+        seqs = json.loads((case / "action_seqs.json").read_text())
+        assert "psnr_seq" in seqs and len(seqs["psnr_seq"]) == 4
+        assert "sigma_d" in seqs and len(seqs["sigma_d"]) == 8  # pack*steps
+
+    def test_early_exit_iters_bounded(self, tmp_path):
+        ev, avars = _setup(tmp_path)
+        out = jax.device_get(
+            ev._episode(avars, ev.eval_sets["setA"]))
+        psnr0, psnr_f, iters, psnr_seq, actions, output, alive = out
+        assert np.all(iters >= 1) and np.all(iters <= 4)
+        # psnr_seq rows after global termination are flat at the final value
+        executed = (alive > 0).any(axis=1)
+        for t in range(4):
+            if not executed[t]:
+                np.testing.assert_allclose(psnr_seq[t], psnr_f, rtol=1e-6)
+        assert np.isfinite(psnr_seq).all() and np.isfinite(output).all()

@@ -33,7 +33,9 @@ def main(argv=None):
     if opt.denoiser == "tv":
         denoiser = TVDenoiser()
     else:
-        denoiser = load_denoiser(opt.denoiser_ckpt)
+        import jax.numpy as jnp
+        dtype = jnp.bfloat16 if opt.precision == "bf16" else jnp.float32
+        denoiser = load_denoiser(opt.denoiser_ckpt, compute_dtype=dtype)
 
     task = importlib.import_module(f"tfpnp_tpu.tasks.{opt.task}")
     env, sample_data, eval_sets, solver_name, lr_schedule = task.build(opt, denoiser)

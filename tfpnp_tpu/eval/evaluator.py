@@ -50,24 +50,55 @@ class Evaluator:
         self._episode = jax.jit(self._episode_impl)
 
     def _episode_impl(self, actor_variables, data):
+        """Greedy episode as a ``lax.while_loop`` with early exit: once every
+        image in the batch has emitted idx_stop (mean episode length is
+        ~2-4 of 6 steps with a trained policy, docs/results.md), the
+        remaining steps are never executed — the latency win the
+        reference gets from its Python ``break`` (evaluator.py:103),
+        kept inside one compiled program. Per-step traces land in
+        preallocated buffers (static shapes)."""
         env = self.env
+        n_steps = env.max_episode_step
         state0 = env.reset(data)
         psnr0 = state0["last_psnr"]
+        obs0 = env.observe(state0)
+        b = psnr0.shape[0]
 
-        def step_fn(state, _):
-            obs = env.observe(state)
+        def policy(variables, obs):
             action, _, _, _ = policy_apply(
-                self.actor, actor_variables, obs, self.action_ranges,
+                self.actor, variables, obs, self.action_ranges,
                 stochastic=False, use_running_average=True)
-            alive_before = state["alive"]
-            state, reward, done, _ = env.step(state, action, jax.random.PRNGKey(0))
-            acts = {k: v for k, v in action.items() if k != "idx_stop"}
-            return state, (alive_before, state["last_psnr"], acts)
+            return action
 
-        final, (alive, psnr_seq, actions) = jax.lax.scan(
-            step_fn, state0, jnp.arange(env.max_episode_step))
-        # everything returned to the host is float32 (see utils/codec.py)
-        alive = alive.astype(jnp.float32)
+        act_struct = jax.eval_shape(policy, actor_variables, obs0)
+        act_buf0 = jax.tree.map(
+            lambda s: jnp.zeros((n_steps,) + s.shape, s.dtype),
+            {k: v for k, v in act_struct.items() if k != "idx_stop"})
+        alive_buf0 = jnp.zeros((n_steps, b), jnp.float32)
+        psnr_buf0 = jnp.zeros((n_steps, b), jnp.float32)
+
+        def cond_fn(carry):
+            t, state, *_ = carry
+            return (t < n_steps) & jnp.any(state["alive"])
+
+        def body_fn(carry):
+            t, state, alive_buf, psnr_buf, act_buf = carry
+            obs = env.observe(state)
+            action = policy(actor_variables, obs)
+            alive_buf = alive_buf.at[t].set(state["alive"].astype(jnp.float32))
+            state, _, _, _ = env.step(state, action, jax.random.PRNGKey(0))
+            psnr_buf = psnr_buf.at[t].set(state["last_psnr"])
+            act_buf = jax.tree.map(
+                lambda buf, v: buf.at[t].set(v), act_buf,
+                {k: v for k, v in action.items() if k != "idx_stop"})
+            return t + 1, state, alive_buf, psnr_buf, act_buf
+
+        _, final, alive, psnr_seq, actions = jax.lax.while_loop(
+            cond_fn, body_fn, (0, state0, alive_buf0, psnr_buf0, act_buf0))
+        # steps after global termination were never executed (buffers hold
+        # zeros); carry the final PSNR forward so per-step plots stay flat
+        executed = jnp.any(alive > 0, axis=1, keepdims=True)
+        psnr_seq = jnp.where(executed, psnr_seq, final["last_psnr"][None])
         iters = jnp.sum(alive, axis=0)
         output = env.solver.get_output(final["solver"])
         return psnr0, final["last_psnr"], iters, psnr_seq, actions, output, alive

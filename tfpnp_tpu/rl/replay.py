@@ -16,12 +16,13 @@ branch is also broken, rpm.py:56).
 
 from __future__ import annotations
 
+import ctypes
 from typing import Any, Optional
 
 import jax
 import numpy as np
 
-__all__ = ["ReplayBuffer"]
+__all__ = ["ReplayBuffer", "NativeReplayBuffer", "make_replay_buffer"]
 
 
 class ReplayBuffer:
@@ -76,3 +77,77 @@ class ReplayBuffer:
         replace = self._size < batch_size
         idx = rng.choice(self._size, size=batch_size, replace=replace)
         return jax.tree.map(lambda buf: buf[idx], self._storage)
+
+
+class NativeReplayBuffer:
+    """Ring buffer backed by the C++ replay engine (``_native/replay.cpp``):
+    masked insert and sample gather run as multithreaded memcpy outside the
+    GIL. Same interface and ring/sampling semantics as ``ReplayBuffer``
+    (the pure-numpy fallback); per-leaf rows are stored flattened f32 and
+    reshaped on sample."""
+
+    def __init__(self, capacity: int, lib):
+        self.capacity = int(capacity)
+        self._lib = lib
+        self._rb = None
+        self._treedef = None
+        self._shapes = None  # per-leaf trailing shapes
+
+    def __del__(self):
+        if getattr(self, "_rb", None):
+            self._lib.rb_destroy(self._rb)
+            self._rb = None
+
+    def __len__(self) -> int:
+        return int(self._lib.rb_size(self._rb)) if self._rb else 0
+
+    @property
+    def size(self) -> int:
+        return len(self)
+
+    def _flat_rows(self, tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        rows = [np.ascontiguousarray(np.asarray(l), np.float32)
+                .reshape(l.shape[0], -1) for l in leaves]
+        return rows, treedef, [tuple(np.asarray(l).shape[1:]) for l in leaves]
+
+    def store_batch(self, tree: Any, keep: np.ndarray) -> int:
+        tree = jax.device_get(tree)
+        rows, treedef, shapes = self._flat_rows(tree)
+        if self._rb is None:
+            self._treedef, self._shapes = treedef, shapes
+            sizes = (ctypes.c_int64 * len(rows))(*[r.shape[1] for r in rows])
+            self._rb = self._lib.rb_create(self.capacity, sizes, len(rows))
+            assert self._rb, "native replay creation failed"
+        assert treedef == self._treedef, "pytree structure changed"
+        keep = np.ascontiguousarray(np.asarray(keep, bool)).view(np.uint8)
+        ptrs = (ctypes.c_void_p * len(rows))(
+            *[r.ctypes.data_as(ctypes.c_void_p).value for r in rows])
+        return int(self._lib.rb_insert_masked(self._rb, ptrs, keep.ctypes
+                                              .data_as(ctypes.POINTER(ctypes.c_uint8)),
+                                              rows[0].shape[0]))
+
+    def sample(self, batch_size: int, rng: np.random.Generator) -> Any:
+        n = len(self)
+        assert n > 0, "empty replay buffer"
+        idx = rng.choice(n, size=batch_size, replace=n < batch_size)
+        idx = np.ascontiguousarray(idx, np.int64)
+        outs = [np.empty((batch_size, int(np.prod(s)) if s else 1), np.float32)
+                for s in self._shapes]
+        ptrs = (ctypes.c_void_p * len(outs))(
+            *[o.ctypes.data_as(ctypes.c_void_p).value for o in outs])
+        self._lib.rb_gather(self._rb, idx.ctypes
+                            .data_as(ctypes.POINTER(ctypes.c_int64)),
+                            batch_size, ptrs)
+        leaves = [o.reshape((batch_size,) + s) for o, s in zip(outs, self._shapes)]
+        return jax.tree_util.tree_unflatten(self._treedef, leaves)
+
+
+def make_replay_buffer(capacity: int, prefer_native: bool = True):
+    """Native engine when the toolchain is available, numpy otherwise."""
+    if prefer_native:
+        from .._native import load_replay_lib
+        lib = load_replay_lib()
+        if lib is not None:
+            return NativeReplayBuffer(capacity, lib)
+    return ReplayBuffer(capacity)

@@ -50,7 +50,7 @@ from ..models.actor import ResNetActor, policy_apply
 from ..models.critic import ResNetCritic
 from ..utils.codec import make_codec
 from ..utils.log import Logger
-from .replay import ReplayBuffer
+from .replay import make_replay_buffer
 
 __all__ = ["MDDPGTrainer", "TrainConfig"]
 
@@ -116,7 +116,7 @@ class MDDPGTrainer:
         self.logger = logger or Logger(log_dir)
         self.shard = shard_batch
 
-        self.buffer = ReplayBuffer(cfg.rmsize * cfg.max_episode_step)
+        self.buffer = make_replay_buffer(cfg.rmsize * cfg.max_episode_step)
         self.rng = np.random.default_rng(cfg.seed)
         self.key = jax.random.PRNGKey(cfg.seed)
 

@@ -40,6 +40,9 @@ class Options:
         p.add_argument("--denoiser", type=str, default="unet",
                        choices=["unet", "tv"], help="prior (tv needs no weights)")
         p.add_argument("--denoiser_ckpt", type=str, default=None)
+        p.add_argument("--precision", type=str, default="f32",
+                       choices=["f32", "bf16"],
+                       help="denoiser conv compute dtype (bf16 = MXU-native)")
         p.add_argument("--solver", type=str, default="admm")
         p.add_argument("--image_size", type=int, default=128)
         p.add_argument("--mesh_dp", type=int, default=None,

@@ -27,37 +27,36 @@ PACK = 5
 STEPS = 6  # episode steps -> PACK*STEPS = 30 solver iterations per image
 
 
-def bench_tpu():
+def bench_tpu(precision: str = "f32"):
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(".jax_cache").resolve()))
     import jax.numpy as jnp
     import numpy as np
 
     from tfpnp_tpu.data.synthetic import random_images
-    from tfpnp_tpu.models.unet import UNet
+    from tfpnp_tpu.ops.metrics import psnr
     from tfpnp_tpu.pnp import get_solver, run_bundle
+    from tfpnp_tpu.pnp.denoiser import UNetDenoiser, init_denoiser_params
     from tfpnp_tpu.tasks import csmri
 
-    unet = UNet(2, 1)
     ckpt = Path("tfpnp_tpu/pretrained/unet_denoiser.pkl")
     if ckpt.exists():
         import pickle
         with open(ckpt, "rb") as f:
-            uparams = jax.tree.map(jnp.asarray, pickle.load(f))
+            uparams = pickle.load(f)
     else:
-        uparams = unet.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, SIZE, SIZE, 2)))["params"]
-
-    def denoiser(x, sigma):
-        b, h, w = x.shape
-        smap = jnp.broadcast_to(sigma.reshape(b, 1, 1, 1), (b, h, w, 1))
-        out = unet.apply({"params": uparams},
-                         jnp.concatenate([x[..., None], smap], -1))
-        return jnp.clip(out[..., 0], 0.0, 1.0)
+        uparams = init_denoiser_params(jax.random.PRNGKey(0), SIZE)
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    denoiser = UNetDenoiser(params=uparams, compute_dtype=dtype)
 
     solver = get_solver("csmri_admm", denoiser)
     masks = jnp.asarray(np.stack([csmri.radial_mask(SIZE, 4)]))
-    gt = random_images(jax.random.PRNGKey(1), BATCH, SIZE)
-    data = csmri.make_data(jax.random.PRNGKey(2), gt, masks, sigma_list=(15.0,))
+    # jitted synthesis: eager complex64 is unsupported on the tunneled TPU
+    data = jax.jit(lambda k1, k2: csmri.make_data(
+        k2, random_images(k1, BATCH, SIZE), masks, sigma_list=(15.0,)))(
+            jax.random.PRNGKey(1), jax.random.PRNGKey(2))
 
     # numpy constants: closure-captured arrays embed into the program at
     # trace time without a device round-trip
@@ -69,18 +68,19 @@ def bench_tpu():
     def episode(data):
         state = solver.init(data)
         state = run_bundle(solver, state, solver.filter_aux(data), hyper)
-        return solver.get_output(state)
+        out = solver.get_output(state)
+        return out, psnr(out, data["gt"]).mean()
 
-    out = episode(data)
+    out, quality = episode(data)
     jax.block_until_ready(out)  # compile
     n_rep = 10
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        out = episode(data)
+        out, quality = episode(data)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_rep
     its_per_s = BATCH * PACK * STEPS / dt
-    return its_per_s, dt
+    return its_per_s, float(quality)
 
 
 def bench_torch_cpu():
@@ -155,7 +155,15 @@ def bench_torch_cpu():
 
 
 def main():
-    tpu_its, dt = bench_tpu()
+    tpu_its, q_f32 = bench_tpu("f32")
+    # bf16 convs (MXU-native) are adopted only if restoration quality holds
+    # to within 0.1 dB of f32 on the same inputs
+    try:
+        bf16_its, q_bf16 = bench_tpu("bf16")
+        if bf16_its > tpu_its and q_f32 - q_bf16 < 0.1:
+            tpu_its = bf16_its
+    except Exception:
+        pass
     try:
         cpu_its = bench_torch_cpu()
     except Exception:

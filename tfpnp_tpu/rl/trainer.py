@@ -121,9 +121,15 @@ class MDDPGTrainer:
         self.key = jax.random.PRNGKey(cfg.seed)
 
         # --- parameter/optimizer state ------------------------------------
+        # All env math here runs jitted: the tunneled TPU runtime cannot
+        # execute *eager* complex64 ops (host-side complex constants are an
+        # unimplemented transfer), while complex inside compiled programs —
+        # including program inputs/outputs — is fine. Task ``sample_data``
+        # callbacks jit their own synthesis (host-side randomness like
+        # SPI's K draw must stay outside the traced region).
         self.key, k1, k2 = jax.random.split(self.key, 3)
         data0 = sample_data(jax.random.PRNGKey(0))
-        obs0 = env.observe(env.reset(data0))
+        obs0 = jax.jit(lambda d: env.observe(env.reset(d)))(data0)
         avars = actor.init(k1, obs0[:1], use_running_average=False)
         self.actor_params = avars["params"]
         self.actor_stats = avars.get("batch_stats", {})
@@ -137,9 +143,11 @@ class MDDPGTrainer:
         self.start_step = 1
 
         # f32 wire codec: everything crossing the device<->host boundary
-        # (replay entries) travels as float32 (see utils/codec.py)
-        template = {"data": data0, "solver": env.solver.init(data0),
-                    "T": jnp.zeros((cfg.env_batch,), jnp.float32)}
+        # (replay entries) travels as float32 (see utils/codec.py);
+        # template dtypes come from eval_shape — no eager solver math
+        template = jax.eval_shape(
+            lambda d: {"data": d, "solver": env.solver.init(d),
+                       "T": jnp.zeros((cfg.env_batch,), jnp.float32)}, data0)
         self._encode, self._decode = make_codec(template)
         self._encode_jit = jax.jit(self._encode)
 

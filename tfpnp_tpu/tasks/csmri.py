@@ -100,17 +100,22 @@ def build(opt, denoiser):
 
     sample_gt = gt_source(opt)
 
+    # synthesis runs as one jitted program: eager complex ops are
+    # unsupported on the tunneled TPU runtime (see rl/trainer.py), and
+    # fusing sampler + forward model removes per-op dispatch
+    @jax.jit
     def sample_data(key):
         k1, k2 = jax.random.split(key)
         gt = sample_gt(k1, opt.env_batch)
         return make_data(k2, gt, masks, sigma_list=(5.0, 10.0, 15.0))
 
+    mk_eval = jax.jit(lambda k, g, m: make_data(k, g, m, sigma_list=(15.0,)))
     eval_sets = {}
     for i, accel in enumerate((2, 4, 8)):
         k = jax.random.PRNGKey(7000 + i)
         gt = random_images(k, 7, n)
-        eval_sets[f"radial_{n}_{accel}_15"] = make_data(
-            jax.random.fold_in(k, 1), gt, masks[i:i + 1], sigma_list=(15.0,))
+        eval_sets[f"radial_{n}_{accel}_15"] = mk_eval(
+            jax.random.fold_in(k, 1), gt, masks[i:i + 1])
 
     def lr_schedule(step):  # tasks/csmri/main.py:53-57
         if step < 10000:

@@ -66,6 +66,8 @@ def build(opt, denoiser):
 
     sample_gt = gt_source(opt)
 
+    # jitted synthesis (fuses sampler + Radon forward into one program)
+    @jax.jit
     def sample_data(key):
         k1, k2 = jax.random.split(key)
         gt = sample_gt(k1, opt.env_batch)
@@ -75,8 +77,9 @@ def build(opt, denoiser):
     for i, s in enumerate(sigma_ns):
         k = jax.random.PRNGKey(7200 + i)
         gt = random_images(k, 7, n)
-        eval_sets[f"CT_{s * 100:g}"] = make_data(
-            jax.random.fold_in(k, 1), gt, radon, sigma_ns=(s,))
+        eval_sets[f"CT_{s * 100:g}"] = jax.jit(
+            lambda kk, g, s=s: make_data(kk, g, radon, sigma_ns=(s,)))(
+                jax.random.fold_in(k, 1), gt)
 
     def lr_schedule(step):  # tasks/ct/main.py:75-79
         if step < 10000:

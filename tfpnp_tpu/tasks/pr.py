@@ -76,6 +76,8 @@ def build(opt, denoiser):
 
     sample_gt = gt_source(opt)
 
+    # jitted synthesis: no eager complex ops (see rl/trainer.py)
+    @jax.jit
     def sample_data(key):
         k1, k2 = jax.random.split(key)
         gt = sample_gt(k1, opt.env_batch)
@@ -85,8 +87,10 @@ def build(opt, denoiser):
     for i, alpha in enumerate((9.0, 27.0, 81.0)):
         k = jax.random.PRNGKey(7100 + i)
         gt = random_images(k, 12, n)
-        eval_sets[f"alpha_{int(alpha)}"] = make_data(
-            jax.random.fold_in(k, 1), gt, mask, alphas=(alpha,))
+        # jitted synthesis: no eager complex ops (see rl/trainer.py)
+        eval_sets[f"alpha_{int(alpha)}"] = jax.jit(
+            lambda kk, g, a=alpha: make_data(kk, g, mask, alphas=(a,)))(
+                jax.random.fold_in(k, 1), gt)
 
     def lr_schedule(step):  # tasks/pr/main.py:75-79
         if step < 10000:

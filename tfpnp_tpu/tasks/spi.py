@@ -57,17 +57,27 @@ def build(opt, denoiser):
 
     sample_gt = gt_source(opt)
 
-    def sample_data(key):
+    # one jitted synthesis program per K (K shapes the kron upsampling, so
+    # it must stay static; the draw itself is host-side randomness and
+    # must NOT be traced — see rl/trainer.py)
+    def _sample(key, K):
         k1, k2 = jax.random.split(key)
         gt = sample_gt(k1, opt.env_batch)
-        K = int(host_rng.choice(Ks))
         return make_data(k2, gt, K=K)
+
+    mk = {K: jax.jit(lambda key, K=K: _sample(key, K)) for K in Ks}
+
+    def sample_data(key):
+        K = int(host_rng.choice(Ks))
+        return mk[K](key)
 
     eval_sets = {}
     for i, K in enumerate(Ks):
         k = jax.random.PRNGKey(7300 + i)
         gt = random_images(k, 13, n)
-        eval_sets[f"spi_x{K}"] = make_data(jax.random.fold_in(k, 1), gt, K=K)
+        eval_sets[f"spi_x{K}"] = jax.jit(
+            lambda kk, g, K=K: make_data(kk, g, K=K))(
+                jax.random.fold_in(k, 1), gt)
 
     def lr_schedule(step):  # tasks/spi/main.py:71-75
         if step < 10000:

@@ -27,7 +27,11 @@ __all__ = ["make_codec"]
 
 
 def make_codec(template: Any) -> Tuple[Callable[[Any], Any], Callable[[Any], Any]]:
-    dtypes = jax.tree.map(lambda a: jnp.asarray(a).dtype, template)
+    # accepts arrays or jax.eval_shape structs (only dtypes are consumed,
+    # so templates need no eager computation)
+    dtypes = jax.tree.map(
+        lambda a: a.dtype if hasattr(a, "dtype") else jnp.asarray(a).dtype,
+        template)
 
     def encode(tree):
         def enc(x):

@@ -47,6 +47,11 @@ def batch_sharder(mesh: Mesh):
 
     def place(x):
         x = jax.numpy.asarray(x)
+        if mesh.size == 1:
+            # single-device mesh: placement is the identity; skipping the
+            # device_put also avoids the tunneled runtime's unimplemented
+            # complex64 transfer path
+            return x
         if x.ndim == 0 or x.shape[0] % n_dp != 0:
             # indivisible batches (e.g. a 7-image eval set on 8 chips) are
             # replicated rather than padded — correctness over speed there

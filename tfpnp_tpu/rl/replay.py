@@ -55,6 +55,8 @@ class ReplayBuffer:
         k = int(keep.sum())
         if k == 0:
             return 0
+        assert k <= self.capacity, (
+            f"batch of {k} kept rows exceeds capacity {self.capacity}")
         if self._storage is None:
             self._storage = jax.tree.map(
                 lambda a: np.empty((self.capacity,) + a.shape[1:], a.dtype), tree)
@@ -121,6 +123,8 @@ class NativeReplayBuffer:
             assert self._rb, "native replay creation failed"
         assert treedef == self._treedef, "pytree structure changed"
         keep = np.ascontiguousarray(np.asarray(keep, bool)).view(np.uint8)
+        assert int(keep.sum()) <= self.capacity, (
+            "kept rows exceed ring capacity (concurrent-slot write race)")
         ptrs = (ctypes.c_void_p * len(rows))(
             *[r.ctypes.data_as(ctypes.c_void_p).value for r in rows])
         return int(self._lib.rb_insert_masked(self._rb, ptrs, keep.ctypes

@@ -27,7 +27,7 @@ from .utils.options import Options
 
 def main(argv=None):
     opt = Options().parse(argv)
-    logger = Logger(opt.output)
+    logger = Logger(opt.output, enable_tensorboard=opt.tensorboard)
     logger.log(f"devices: {jax.devices()}")
 
     if opt.denoiser == "tv":

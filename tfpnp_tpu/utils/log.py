@@ -32,9 +32,13 @@ class Logger:
         if enable_tensorboard:
             try:
                 from tensorboardX import SummaryWriter
+            except ImportError:
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+                except ImportError:
+                    SummaryWriter = None
+            if SummaryWriter is not None:
                 self._tb = SummaryWriter(str(Path(log_dir) / "tb"))
-            except Exception:
-                pass
 
     def log(self, msg: str, color: str | None = None):
         stamp = time.strftime("%m-%d %H:%M:%S")

@@ -52,6 +52,8 @@ class Options:
                        help="folder of training images (default: procedural corpus)")
         p.add_argument("--profile", action="store_true",
                        help="write jax.profiler traces under <output>/trace")
+        p.add_argument("--tensorboard", action="store_true",
+                       help="also write TensorBoard event files under <output>/tb")
         p.add_argument("--no_compile_cache", action="store_true")
         p.add_argument("--debug", action="store_true")
         self.parser = p

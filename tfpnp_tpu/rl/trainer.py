@@ -274,7 +274,21 @@ class MDDPGTrainer:
         best_eval = -np.inf
         t_stamp = time.time()
 
-        while step <= cfg.train_steps:
+        # graceful shutdown: SIGTERM/SIGINT finish the current episode and
+        # save a full-state checkpoint (the reference loses buffer/optimizer
+        # state on any interruption, docs/todo.md:9)
+        stop_requested = {"flag": False}
+        try:
+            import signal
+
+            def _request_stop(signum, frame):
+                stop_requested["flag"] = True
+            prev_handlers = {s: signal.signal(s, _request_stop)
+                             for s in (signal.SIGTERM, signal.SIGINT)}
+        except (ValueError, OSError):  # non-main thread
+            prev_handlers = {}
+
+        while step <= cfg.train_steps and not stop_requested["flag"]:
             # ---- one episode of experience -------------------------------
             self.key, k_data, k_roll = jax.random.split(self.key, 3)
             rewards, psnr_final = self.collect_episode(k_data, k_roll)
@@ -320,6 +334,16 @@ class MDDPGTrainer:
             if step % cfg.save_freq < cfg.max_episode_step:
                 self.save(Path(self.logger.log_dir) / "ckpt" / f"step_{step:07d}.pkl", step)
             t_stamp = time.time()
+
+        if stop_requested["flag"]:
+            self.logger.log("termination signal: saving checkpoint and exiting")
+            self.save(Path(self.logger.log_dir) / "ckpt" / "interrupted.pkl", step)
+        try:
+            import signal
+            for s, h in prev_handlers.items():
+                signal.signal(s, h)
+        except (ValueError, OSError):
+            pass
 
     # ------------------------------------------------------------------ #
     # checkpoint / resume                                                 #

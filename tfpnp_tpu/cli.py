@@ -69,7 +69,7 @@ def main(argv=None):
         tau=opt.tau, loop_penalty=opt.loop_penalty, lambda_e=opt.lambda_e,
         episode_train_times=opt.episode_train_times,
         validate_interval=opt.validate_interval, save_freq=opt.save_freq,
-        seed=opt.seed)
+        seed=opt.seed, replay_backend=opt.replay)
     trainer = MDDPGTrainer(cfg, env, actor, ranges, sample_data, lr_schedule,
                            evaluator=evaluator, log_dir=opt.output,
                            logger=logger, shard_batch=shard)

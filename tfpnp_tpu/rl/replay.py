@@ -20,9 +20,24 @@ import ctypes
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["ReplayBuffer", "NativeReplayBuffer", "make_replay_buffer"]
+__all__ = ["ReplayBuffer", "NativeReplayBuffer", "DeviceReplayBuffer",
+           "make_replay_buffer"]
+
+
+def _trim_keep(keep: np.ndarray, capacity: int) -> np.ndarray:
+    """Ring semantics for oversized inserts: when more than ``capacity``
+    rows are kept, only the LAST ``capacity`` survive (earlier rows would
+    be overwritten by the wraparound; duplicate scatter slots would also
+    be an ordering race on device)."""
+    k = int(keep.sum())
+    if k > capacity:
+        keep = keep.copy()
+        drop = np.flatnonzero(keep)[: k - capacity]
+        keep[drop] = False
+    return keep
 
 
 class ReplayBuffer:
@@ -51,12 +66,10 @@ class ReplayBuffer:
         Returns the number of rows stored.
         """
         tree = jax.device_get(tree)
-        keep = np.asarray(keep, bool)
+        keep = _trim_keep(np.asarray(keep, bool), self.capacity)
         k = int(keep.sum())
         if k == 0:
             return 0
-        assert k <= self.capacity, (
-            f"batch of {k} kept rows exceeds capacity {self.capacity}")
         if self._storage is None:
             self._storage = jax.tree.map(
                 lambda a: np.empty((self.capacity,) + a.shape[1:], a.dtype), tree)
@@ -122,9 +135,8 @@ class NativeReplayBuffer:
             self._rb = self._lib.rb_create(self.capacity, sizes, len(rows))
             assert self._rb, "native replay creation failed"
         assert treedef == self._treedef, "pytree structure changed"
-        keep = np.ascontiguousarray(np.asarray(keep, bool)).view(np.uint8)
-        assert int(keep.sum()) <= self.capacity, (
-            "kept rows exceed ring capacity (concurrent-slot write race)")
+        keep = _trim_keep(np.asarray(keep, bool), self.capacity)
+        keep = np.ascontiguousarray(keep).view(np.uint8)
         ptrs = (ctypes.c_void_p * len(rows))(
             *[r.ctypes.data_as(ctypes.c_void_p).value for r in rows])
         return int(self._lib.rb_insert_masked(self._rb, ptrs, keep.ctypes
@@ -147,9 +159,95 @@ class NativeReplayBuffer:
         return jax.tree_util.tree_unflatten(self._treedef, leaves)
 
 
-def make_replay_buffer(capacity: int, prefer_native: bool = True):
-    """Native engine when the toolchain is available, numpy otherwise."""
-    if prefer_native:
+class DeviceReplayBuffer:
+    """Replay ring that lives in device memory (HBM).
+
+    The host-side buffers move the full experience stream across the
+    host<->device boundary twice (d2h at insert, h2d at sample) — over a
+    tunneled single-chip link that is the dominant cost of an episode.
+    Here storage is a pytree of ``[capacity + 1, ...]`` device arrays:
+
+      - insert is one jitted scatter: row ``j`` of the flattened episode
+        goes to ring slot ``(idx + rank_j) % capacity`` if kept, else to
+        the trash slot ``capacity``;
+      - sample is one jitted gather at host-chosen indices (uniform, same
+        semantics as the host buffers) — only the int32 index vector
+        crosses the boundary.
+
+    Size/cursor bookkeeping stays on host (exact, from the alive mask the
+    trainer already reads back for logging).
+    """
+
+    def __init__(self, capacity: int):
+        self.capacity = int(capacity)
+        self._storage = None
+        self._idx = 0
+        self._size = 0
+
+        cap = self.capacity
+
+        @jax.jit
+        def _insert(storage, rows, keep, start):
+            flat_keep = keep.astype(jnp.int32)
+            rank = jnp.cumsum(flat_keep) - flat_keep
+            pos = jnp.where(flat_keep > 0, (start + rank) % cap, cap)
+
+            def upd(buf, r):
+                return buf.at[pos].set(r)
+
+            return jax.tree.map(upd, storage, rows)
+
+        @jax.jit
+        def _gather(storage, idx):
+            return jax.tree.map(lambda buf: buf[idx], storage)
+
+        self._insert_jit = _insert
+        self._gather_jit = _gather
+
+    def __len__(self) -> int:
+        return self._size
+
+    @property
+    def size(self) -> int:
+        return self._size
+
+    def store_batch(self, tree: Any, keep) -> int:
+        """Insert rows ``i`` of a device ``[N, ...]`` pytree where
+        ``keep[i]`` (device or host array). Same ring semantics as the
+        host buffers."""
+        import jax.numpy as _jnp
+
+        keep_host = np.asarray(jax.device_get(keep)).astype(bool).reshape(-1)
+        keep_host = _trim_keep(keep_host, self.capacity)
+        k = int(keep_host.sum())
+        if k == 0:
+            return 0
+        if self._storage is None:
+            self._storage = jax.tree.map(
+                lambda a: _jnp.zeros((self.capacity + 1,) + a.shape[1:], a.dtype),
+                tree)
+        self._storage = self._insert_jit(
+            self._storage, tree, _jnp.asarray(keep_host), self._idx)
+        self._idx = (self._idx + k) % self.capacity
+        self._size = min(self._size + k, self.capacity)
+        return k
+
+    def sample(self, batch_size: int, rng: np.random.Generator) -> Any:
+        """Uniformly sample a stacked device pytree; only the index vector
+        crosses the host boundary."""
+        assert self._size > 0, "empty replay buffer"
+        replace = self._size < batch_size
+        idx = rng.choice(self._size, size=batch_size, replace=replace)
+        import jax.numpy as _jnp
+        return self._gather_jit(self._storage, _jnp.asarray(idx, _jnp.int32))
+
+
+def make_replay_buffer(capacity: int, backend: str = "device"):
+    """``device`` = HBM-resident ring (default; experience never crosses
+    the host boundary), ``native`` = C++ host engine, ``host`` = numpy."""
+    if backend == "device":
+        return DeviceReplayBuffer(capacity)
+    if backend == "native":
         from .._native import load_replay_lib
         lib = load_replay_lib()
         if lib is not None:

@@ -75,6 +75,9 @@ class TrainConfig:
     save_freq: int = 1000
     grad_clip: float = 50.0
     seed: int = 1234
+    # "device" = HBM-resident replay ring (experience never crosses the
+    # host boundary); "native" = C++ host engine; "host" = numpy
+    replay_backend: str = "device"
 
 
 def _tx():
@@ -116,7 +119,8 @@ class MDDPGTrainer:
         self.logger = logger or Logger(log_dir)
         self.shard = shard_batch
 
-        self.buffer = make_replay_buffer(cfg.rmsize * cfg.max_episode_step)
+        self.buffer = make_replay_buffer(cfg.rmsize * cfg.max_episode_step,
+                                         cfg.replay_backend)
         self.rng = np.random.default_rng(cfg.seed)
         self.key = jax.random.PRNGKey(cfg.seed)
 
@@ -153,6 +157,22 @@ class MDDPGTrainer:
 
         self._rollout = jax.jit(self._rollout_impl)
         self._update = jax.jit(self._update_impl)
+
+        t_steps = cfg.max_episode_step
+
+        @jax.jit
+        def _flatten_rows(entries, data):
+            """[T, B, ...] per-step entries + per-episode data -> flat
+            [T*B, ...] replay rows (data broadcast per step), on device."""
+            def bcast(a):
+                return jnp.broadcast_to(a[None], (t_steps,) + a.shape) \
+                          .reshape((-1,) + a.shape[1:])
+            data_rows = jax.tree.map(bcast, self._encode(data))
+            entry_rows = jax.tree.map(
+                lambda a: a.reshape((-1,) + a.shape[2:]), entries)
+            return {"data": data_rows, **entry_rows}
+
+        self._flatten_rows = _flatten_rows
 
     # ------------------------------------------------------------------ #
     # rollout                                                             #
@@ -258,13 +278,19 @@ class MDDPGTrainer:
         data = self.shard(self.sample_data(k_data))
         entries, alive, rewards, psnr_final = self._rollout(
             self.actor_params, self.actor_stats, data, k_roll)
-        entries = jax.device_get(entries)
-        alive_np = np.asarray(alive) > 0.5
-        data_np = jax.device_get(self._encode_jit(data))
-        for t in range(self.cfg.max_episode_step):
-            entry_t = jax.tree.map(lambda a: a[t], entries)
-            entry_t = {"data": data_np, **entry_t}
-            self.buffer.store_batch(entry_t, alive_np[t])
+        if self.cfg.replay_backend == "device":
+            # experience stays in HBM: one jitted flatten + one jitted
+            # scatter; only the tiny alive mask reaches the host
+            rows = self._flatten_rows(entries, data)
+            self.buffer.store_batch(rows, alive.reshape(-1))
+        else:
+            entries = jax.device_get(entries)
+            alive_np = np.asarray(alive) > 0.5
+            data_np = jax.device_get(self._encode_jit(data))
+            for t in range(self.cfg.max_episode_step):
+                entry_t = jax.tree.map(lambda a: a[t], entries)
+                entry_t = {"data": data_np, **entry_t}
+                self.buffer.store_batch(entry_t, alive_np[t])
         return rewards, psnr_final
 
     def train(self):

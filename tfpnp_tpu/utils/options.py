@@ -43,6 +43,9 @@ class Options:
         p.add_argument("--precision", type=str, default="f32",
                        choices=["f32", "bf16"],
                        help="denoiser conv compute dtype (bf16 = MXU-native)")
+        p.add_argument("--replay", type=str, default="device",
+                       choices=["device", "native", "host"],
+                       help="replay ring backend (device = HBM-resident)")
         p.add_argument("--solver", type=str, default="admm")
         p.add_argument("--image_size", type=int, default=128)
         p.add_argument("--mesh_dp", type=int, default=None,

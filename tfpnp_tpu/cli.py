@@ -27,6 +27,8 @@ from .utils.options import Options
 
 def main(argv=None):
     opt = Options().parse(argv)
+    from .parallel.distributed import init_distributed
+    init_distributed()  # no-op unless TFPNP_COORDINATOR/… are set
     logger = Logger(opt.output, enable_tensorboard=opt.tensorboard)
     logger.log(f"devices: {jax.devices()}")
 

@@ -1,0 +1,7 @@
+"""Parallelism: device meshes, sharding placement, multi-host bring-up."""
+
+from .distributed import init_distributed, is_multi_host, local_batch_slice  # noqa: F401
+from .mesh import batch_sharder, make_mesh, replicate  # noqa: F401
+
+__all__ = ["make_mesh", "batch_sharder", "replicate",
+           "init_distributed", "is_multi_host", "local_batch_slice"]

@@ -17,6 +17,7 @@ branch is also broken, rpm.py:56).
 from __future__ import annotations
 
 import ctypes
+import functools
 from typing import Any, Optional
 
 import jax
@@ -186,7 +187,7 @@ class DeviceReplayBuffer:
 
         cap = self.capacity
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=0)
         def _insert(storage, rows, keep, start):
             flat_keep = keep.astype(jnp.int32)
             rank = jnp.cumsum(flat_keep) - flat_keep

@@ -12,6 +12,7 @@ import pytest
 torch = pytest.importorskip("torch")
 import torch.nn as nn  # noqa: E402
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from tfpnp_tpu.models.unet import UNet  # noqa: E402
@@ -102,3 +103,105 @@ def test_converted_weights_match_torch_forward():
     got = flax_unet.apply({"params": params}, x_nhwc)
     got = np.transpose(np.asarray(got), (0, 3, 1, 2))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def _torch_actor(num_inputs=9, bundle=5, n_actions=2, deep=False):
+    """Reference-faithful ResNet-18 actor (policy/network.py:16-135) used
+    to validate the checkpoint converter."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    def conv3x3(cin, cout, stride=1):
+        return nn.Conv2d(cin, cout, 3, stride=stride, padding=1, bias=False)
+
+    class BasicBlock(nn.Module):
+        def __init__(s, cin, planes, stride=1):
+            super().__init__()
+            s.conv1 = conv3x3(cin, planes, stride)
+            s.bn1 = nn.BatchNorm2d(planes)
+            s.conv2 = conv3x3(planes, planes)
+            s.bn2 = nn.BatchNorm2d(planes)
+            s.shortcut = nn.Sequential()
+            if stride != 1 or cin != planes:
+                s.shortcut = nn.Sequential(
+                    nn.Conv2d(cin, planes, 1, stride=stride, bias=False),
+                    nn.BatchNorm2d(planes))
+
+        def forward(s, x):
+            out = F.relu(s.bn1(s.conv1(x)))
+            out = s.bn2(s.conv2(out))
+            return F.relu(out + s.shortcut(x))
+
+    class Encoder(nn.Module):
+        def __init__(s):
+            super().__init__()
+            s.conv1 = conv3x3(num_inputs, 64, 2)
+            s.bn1 = nn.BatchNorm2d(64)
+            cin = 64
+            for li, planes in enumerate((64, 128, 256, 512), 1):
+                blocks = []
+                for bi in range(2):
+                    blocks.append(BasicBlock(cin, planes, 2 if bi == 0 else 1))
+                    cin = planes
+                setattr(s, f"layer{li}", nn.Sequential(*blocks))
+
+        def forward(s, x):
+            x = F.relu(s.bn1(s.conv1(x)))
+            for li in range(1, 5):
+                x = getattr(s, f"layer{li}")(x)
+            return x
+
+    class Actor(nn.Module):
+        def __init__(s):
+            super().__init__()
+            s.actor_encoder = Encoder()
+            s.fc_softmax = nn.Sequential(nn.Linear(512, 2), nn.Softmax(dim=1))
+            if deep:
+                s.fc_deterministic = nn.Sequential(
+                    nn.Linear(512, 64), nn.ReLU(),
+                    nn.Linear(64, bundle * n_actions), nn.Sigmoid())
+            else:
+                s.fc_deterministic = nn.Sequential(
+                    nn.Linear(512, bundle * n_actions), nn.Sigmoid())
+
+        def forward(s, x):
+            h = s.actor_encoder(x)
+            h = F.adaptive_avg_pool2d(h, 1).flatten(1)
+            return s.fc_softmax(h), s.fc_deterministic(h)
+
+    return Actor()
+
+
+@pytest.mark.parametrize("deep", [False, True])
+def test_converted_actor_matches_torch_forward(deep):
+    import torch
+
+    from tfpnp_tpu.models.actor import ResNetActor
+    from tfpnp_tpu.utils.convert_torch import convert_actor_state_dict
+
+    torch.manual_seed(0)
+    net = _torch_actor(deep=deep).eval()
+    # randomize running stats so the BN mapping is actually exercised
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.7, 1.5)
+
+    x = torch.rand(2, 9, 32, 32)
+    with torch.no_grad():
+        probs_t, raw_t = net(x)
+
+    params, stats = convert_actor_state_dict(
+        {k: v.numpy() for k, v in net.state_dict().items()}, deep_head=deep)
+    actor = ResNetActor(action_bundle=5, action_keys=("sigma_d", "mu"),
+                        deep_head=deep)
+    obs = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    probs_j, raw_j = actor.apply(
+        {"params": jax.tree.map(jnp.asarray, params),
+         "batch_stats": jax.tree.map(jnp.asarray, stats)},
+        obs, use_running_average=True)
+    np.testing.assert_allclose(np.asarray(probs_j), probs_t.numpy(),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(raw_j), raw_t.numpy(), atol=2e-5)

@@ -31,8 +31,10 @@ class TReLU(nn.Module):
 
 
 def _wn_conv(features: int, kernel: Tuple[int, int], stride: int = 1):
+    # torch-style symmetric padding (see models/resnet.py _PAD3)
+    pad = tuple((k // 2, k // 2) for k in kernel)
     return nn.WeightNorm(nn.Conv(features, kernel, (stride, stride),
-                                 padding="SAME", use_bias=True))
+                                 padding=pad, use_bias=True))
 
 
 class _WNBasicBlock(nn.Module):

@@ -37,6 +37,12 @@ class _BN(nn.Module):
                             momentum=0.9, epsilon=1e-5)(x)
 
 
+# torch Conv2d(k=3, padding=1) pads (1, 1) on both axes for every stride;
+# XLA "SAME" pads (0, 1) at stride 2, which shifts borders and breaks exact
+# equivalence with converted reference checkpoints
+_PAD3 = ((1, 1), (1, 1))
+
+
 class BasicBlock(nn.Module):
     """conv-bn-relu-conv-bn + projection shortcut
     (reference network.py:33-56)."""
@@ -48,9 +54,9 @@ class BasicBlock(nn.Module):
     def __call__(self, x, use_running_average: bool):
         ura = use_running_average
         out = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
-                      padding="SAME", use_bias=False)(x)
+                      padding=_PAD3, use_bias=False)(x)
         out = nn.relu(_BN()(out, ura))
-        out = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False)(out)
+        out = nn.Conv(self.features, (3, 3), padding=_PAD3, use_bias=False)(out)
         out = _BN()(out, ura)
         if self.stride != 1 or x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1, 1), (self.stride, self.stride),
@@ -73,7 +79,7 @@ class Bottleneck(nn.Module):
         out = nn.Conv(self.features, (1, 1), use_bias=False)(x)
         out = nn.relu(_BN()(out, ura))
         out = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
-                      padding="SAME", use_bias=False)(out)
+                      padding=_PAD3, use_bias=False)(out)
         out = nn.relu(_BN()(out, ura))
         out = nn.Conv(self.features * self.expansion, (1, 1), use_bias=False)(out)
         out = _BN()(out, ura)
@@ -93,7 +99,7 @@ class ResNetEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, use_running_average: bool = True) -> jnp.ndarray:
         kind, blocks = RESNET_CFG[self.depth]
         block_cls = BasicBlock if kind == "basic" else Bottleneck
-        x = nn.Conv(64, (3, 3), (2, 2), padding="SAME", use_bias=False)(x)
+        x = nn.Conv(64, (3, 3), (2, 2), padding=_PAD3, use_bias=False)(x)
         x = nn.relu(_BN()(x, use_running_average))
         for stage, (feats, n) in enumerate(zip((64, 128, 256, 512), blocks)):
             for i in range(n):

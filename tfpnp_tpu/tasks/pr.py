@@ -17,6 +17,7 @@ Data dict fields:
 from __future__ import annotations
 
 import functools
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -31,11 +32,20 @@ SAMPLING_RATE = 4
 
 
 @functools.lru_cache(maxsize=None)
-def cdp_mask(n: int, s: int = SAMPLING_RATE, seed: int = 0) -> np.ndarray:
-    """Deterministic random-phase CDP mask bank, shape [S, H, W] complex64."""
+def cdp_mask_phase(n: int, s: int = SAMPLING_RATE, seed: int = 0) -> np.ndarray:
+    """Deterministic CDP mask phases, shape [S, H, W] float32.
+
+    Kept real-valued so the tunneled TPU backend never sees an *eager*
+    complex array (h2d transfer or jit closure constant-folding of
+    complex64 is UNIMPLEMENTED there); the unit-modulus complex mask is
+    materialized inside jitted programs via ``exp(1j*phase)``."""
     rng = np.random.RandomState(seed)
-    phase = rng.uniform(0, 2 * np.pi, (s, n, n))
-    return np.exp(1j * phase).astype(np.complex64)
+    return rng.uniform(0, 2 * np.pi, (s, n, n)).astype(np.float32)
+
+
+def cdp_mask(n: int, s: int = SAMPLING_RATE, seed: int = 0) -> np.ndarray:
+    """Host-side complex mask bank [S, H, W] (CPU tests/scripts only)."""
+    return np.exp(1j * cdp_mask_phase(n, s, seed)).astype(np.complex64)
 
 
 def make_data(key: jax.Array, gt: jnp.ndarray, mask: jnp.ndarray,
@@ -72,7 +82,8 @@ def build(opt, denoiser):
     solver_name = f"pr_{opt.solver}"
     solver = get_solver(solver_name, denoiser)
     env = PnPEnv(solver, pack_obs, max_episode_step=opt.max_episode_step)
-    mask = jnp.asarray(cdp_mask(n))
+    # float32 phases only; the complex mask exists solely inside jit
+    phase = jnp.asarray(cdp_mask_phase(n))
 
     sample_gt = gt_source(opt)
 
@@ -81,16 +92,22 @@ def build(opt, denoiser):
     def sample_data(key):
         k1, k2 = jax.random.split(key)
         gt = sample_gt(k1, opt.env_batch)
+        mask = jnp.exp(1j * phase.astype(jnp.complex64))
         return make_data(k2, gt, mask, alphas=(9.0, 27.0, 81.0))
 
     eval_sets = {}
     for i, alpha in enumerate((9.0, 27.0, 81.0)):
         k = jax.random.PRNGKey(7100 + i)
         gt = random_images(k, 12, n)
+
         # jitted synthesis: no eager complex ops (see rl/trainer.py)
-        eval_sets[f"alpha_{int(alpha)}"] = jax.jit(
-            lambda kk, g, a=alpha: make_data(kk, g, mask, alphas=(a,)))(
-                jax.random.fold_in(k, 1), gt)
+        @partial(jax.jit, static_argnames="a")
+        def _make(kk, g, a):
+            mask = jnp.exp(1j * phase.astype(jnp.complex64))
+            return make_data(kk, g, mask, alphas=(a,))
+
+        eval_sets[f"alpha_{int(alpha)}"] = _make(
+            jax.random.fold_in(k, 1), gt, a=float(alpha))
 
     def lr_schedule(step):  # tasks/pr/main.py:75-79
         if step < 10000:

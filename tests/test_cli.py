@@ -35,3 +35,37 @@ class TestCLI:
               "--action_pack", "1", "--image_size", "32", "--mesh_dp", "1"])
         arts = list((run_dir / "eval_results").rglob("action_seqs.json"))
         assert arts, "eval artifacts missing"
+
+
+class TestPretrainedRegistry:
+    def test_registry_lists_and_resolves(self):
+        from tfpnp_tpu import pretrained
+        names = pretrained.available_policies()
+        assert "csmri_admm_5x6_actor.pkl" in names
+        assert pretrained.policy_path("csmri", "admm").name == \
+            "csmri_admm_5x6_actor.pkl"
+        assert pretrained.policy_path("csmri", "nope") is None
+
+    def test_load_policy_variables(self):
+        from tfpnp_tpu import pretrained
+        variables = pretrained.load_policy("spi", "admm")
+        assert set(variables) == {"params", "batch_stats"}
+
+    def test_unknown_policy_raises(self):
+        import pytest as _pytest
+        from tfpnp_tpu import pretrained
+        with _pytest.raises(FileNotFoundError, match="available"):
+            pretrained.load_policy("csmri", "nope")
+
+    def test_eval_falls_back_to_shipped_policy(self, tmp_path):
+        """--eval with no --resume uses the shipped (task, solver) actor.
+
+        Uses the real shipped CS-MRI policy on a tiny eval set; the actor
+        is resolution-agnostic (global pooling) so 32^2 images work."""
+        from tfpnp_tpu.cli import main
+        main(["--task", "csmri", "--solver", "admm", "--denoiser", "tv",
+              "--exp", "t2", "--log_root", str(tmp_path), "--eval",
+              "--max_episode_step", "2", "--action_pack", "5",
+              "--image_size", "32", "--mesh_dp", "1"])
+        arts = list((tmp_path / "t2" / "eval_results").rglob("action_seqs.json"))
+        assert arts, "eval artifacts missing"

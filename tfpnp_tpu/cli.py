@@ -53,11 +53,16 @@ def main(argv=None):
                           save_dir=f"{opt.output}/eval_results", logger=logger)
 
     if opt.eval:
-        assert opt.resume, "--eval needs --resume CKPT"
-        with open(opt.resume, "rb") as f:
-            state = pickle.load(f)
-        variables = {"params": state["actor_params"],
-                     "batch_stats": state["actor_stats"]}
+        if opt.resume:
+            with open(opt.resume, "rb") as f:
+                state = pickle.load(f)
+            variables = {"params": state["actor_params"],
+                         "batch_stats": state["actor_stats"]}
+        else:  # fall back to the shipped policy for this (task, solver)
+            from . import pretrained
+            variables = pretrained.load_policy(opt.task, opt.solver)
+            logger.log(f"loaded shipped policy "
+                       f"{pretrained.policy_path(opt.task, opt.solver).name}")
         variables = jax.tree.map(jax.numpy.asarray, variables)
         from .utils.profiling import trace
         with trace(f"{opt.output}/trace", enabled=opt.profile):

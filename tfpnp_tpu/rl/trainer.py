@@ -156,7 +156,11 @@ class MDDPGTrainer:
         self._encode_jit = jax.jit(self._encode)
 
         self._rollout = jax.jit(self._rollout_impl)
-        self._update = jax.jit(self._update_impl)
+        # params/opt-state trees are consumed and returned every update:
+        # donating them lets XLA update in place instead of allocating a
+        # second copy of every tensor 10x per episode
+        self._update = jax.jit(self._update_impl,
+                               donate_argnums=(0, 1, 2, 3, 4, 5))
 
         t_steps = cfg.max_episode_step
 

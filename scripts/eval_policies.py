@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Evaluate every shipped RL policy on its task's benchmark sets.
+
+Mirrors the reference's release validation (docs/results.md: each released
+checkpoint re-run via main.py --eval). Walks tfpnp_tpu/pretrained/*_actor.pkl,
+rebuilds each task with the protocol encoded in the filename
+({task}_{solver}_{pack}x{steps}_actor.pkl), runs the batched greedy
+evaluator, and prints one markdown table + one JSON line per policy.
+
+Usage: python scripts/eval_policies.py [--image_size 128] [--only csmri_admm]
+"""
+
+import argparse
+import json
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image_size", type=int, default=128)
+    ap.add_argument("--only", type=str, default=None,
+                    help="substring filter on policy filename")
+    ap.add_argument("--out", type=str, default="logs/eval_policies")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(".jax_cache").resolve()))
+
+    import importlib
+
+    from tfpnp_tpu import pretrained
+    from tfpnp_tpu.eval.evaluator import Evaluator
+    from tfpnp_tpu.models.actor import actor_spec_for
+    from tfpnp_tpu.pnp.denoiser import load_denoiser
+    from tfpnp_tpu.utils.log import Logger
+    from tfpnp_tpu.utils.options import Options
+
+    denoiser = load_denoiser()
+    logger = Logger(args.out)
+    rows = []
+    for name in pretrained.available_policies():
+        if args.only and args.only not in name:
+            continue
+        m = re.match(r"(\w+?)_(\w+)_(\d+)x(\d+)_actor\.pkl", name)
+        if not m:
+            logger.log(f"skipping unparseable policy file {name}")
+            continue
+        task_name, solver, pack, steps = m.group(1), m.group(2), int(m.group(3)), int(m.group(4))
+        opt = Options().parse(
+            ["--task", task_name, "--solver", solver, "--exp", f"evalall_{task_name}_{solver}",
+             "--log_root", args.out, "--action_pack", str(pack),
+             "--max_episode_step", str(steps), "--image_size", str(args.image_size),
+             "--mesh_dp", "1"])
+        task = importlib.import_module(f"tfpnp_tpu.tasks.{task_name}")
+        env, _, eval_sets, solver_name, _ = task.build(opt, denoiser)
+        ranges, actor = actor_spec_for(solver_name, pack)
+        variables = jax.tree.map(jax.numpy.asarray,
+                                 pretrained.load_policy(task_name, solver))
+        ev = Evaluator(env, actor, ranges, eval_sets,
+                       save_dir=f"{args.out}/{task_name}_{solver}", logger=logger)
+        logger.log(f"## {name} ({pack}x{steps}, {args.image_size}^2)")
+        t0 = time.time()
+        mean_psnr = ev.eval(variables, step=0)
+        rows.append({"policy": name, "task": task_name, "solver": solver,
+                     "mean_psnr": round(float(mean_psnr), 2),
+                     "eval_s": round(time.time() - t0, 1)})
+        print(json.dumps(rows[-1]))
+
+    logger.log("| policy | mean PSNR over sets | eval s |")
+    logger.log("|---|---|---|")
+    for r in rows:
+        logger.log(f"| {r['policy']} | {r['mean_psnr']} | {r['eval_s']} |")
+
+
+if __name__ == "__main__":
+    main()

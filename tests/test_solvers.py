@@ -196,3 +196,49 @@ class TestCTSolvers:
         state = run_bundle(solver, state, aux, hyper)
         p1 = ops.psnr(solver.get_output(state), gt)
         assert np.all(np.asarray(p1) > np.asarray(p0) + 0.5), (np.asarray(p0), np.asarray(p1))
+
+
+class TestDivergenceSafety:
+    """A policy can sample tau*(1+mu) > 2 where unprojected iADMM diverges
+    geometrically; the box projection and the observation clip must keep
+    both the solver state and what the networks see bounded."""
+
+    def test_ct_iadmm_bounded_under_divergent_hyper(self):
+        import numpy as np
+        from tfpnp_tpu.env.base import OBS_CLIP, PnPEnv, _var_channels
+        from tfpnp_tpu.pnp import get_solver, run_bundle
+        from tfpnp_tpu.pnp.tv import TVDenoiser
+        from tfpnp_tpu.tasks import ct as ct_task
+        from tfpnp_tpu.utils.options import Options
+
+        opt = Options().parse(["--task", "ct", "--solver", "iadmm",
+                               "--env_batch", "2", "--image_size", "32",
+                               "--exp", "tmp_divchk"])
+        env, sample_data, _, _, _ = ct_task.build(opt, TVDenoiser(n_iter=2))
+        data = sample_data(jax.random.PRNGKey(0))
+        solver = env.solver
+
+        hyper = {"sigma_d": np.full((2, 30), 10 / 255, np.float32),
+                 "mu": np.full((2, 30), 1.0, np.float32),
+                 "tau": np.full((2, 30), 2.0, np.float32)}  # worst case
+        state = jax.jit(lambda d: run_bundle(
+            solver, solver.init(d), solver.filter_aux(d), hyper))(data)
+        for k, v in state.items():
+            arr = np.asarray(v)
+            assert np.isfinite(arr).all(), k
+            assert np.abs(arr).max() < 1e3, (k, np.abs(arr).max())
+        obs = np.asarray(_var_channels(solver, state))
+        assert np.abs(obs).max() <= OBS_CLIP + 1e-6
+
+    def test_obs_clip_sanitizes_nonfinite_state(self):
+        import numpy as np
+        from tfpnp_tpu.env.base import OBS_CLIP, _var_channels
+        from tfpnp_tpu.pnp import get_solver
+        from tfpnp_tpu.pnp.tv import TVDenoiser
+
+        solver = get_solver("csmri_admm", TVDenoiser(n_iter=1))
+        bad = jnp.asarray([[[np.nan, np.inf], [-np.inf, 1e9]]])
+        state = {"x": bad, "z": bad, "u": bad}
+        obs = np.asarray(_var_channels(solver, state))
+        assert np.isfinite(obs).all()
+        assert np.abs(obs).max() <= OBS_CLIP

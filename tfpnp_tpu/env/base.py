@@ -45,12 +45,25 @@ __all__ = ["PnPEnv", "EnvState"]
 EnvState = Dict[str, Any]
 
 
+# Observation safety band. Healthy solver variables live in roughly
+# [-1.5, 1.5] (images are [0,1]; duals/overshoots small), so this clip is
+# a no-op on the stable path. When a sampled hyperparameter bundle makes
+# an iteration diverge (e.g. iADMM with tau*(1+mu) > 2), it bounds what
+# the actor/critic ever see — one diverged rollout state in the replay
+# ring must not blow up the value function. The replayed *solver state*
+# stays raw, so the differentiable re-simulation is untouched.
+OBS_CLIP = 5.0
+
+
 def _var_channels(solver: Solver, solver_state) -> jnp.ndarray:
     """Stack the real parts of solver variables as NHWC channels, in
     ``var_names`` order (the reference's channel-concatenated state viewed
-    through ``complex2real``, e.g. tasks/csmri/env.py:16)."""
+    through ``complex2real``, e.g. tasks/csmri/env.py:16), clipped to the
+    observation safety band."""
     chans = [complex2real(solver_state[k]) for k in solver.var_names]
-    return jnp.stack(chans, axis=-1)
+    v = jnp.stack(chans, axis=-1)
+    return jnp.clip(jnp.nan_to_num(v, nan=0.0, posinf=OBS_CLIP,
+                                   neginf=-OBS_CLIP), -OBS_CLIP, OBS_CLIP)
 
 
 @dataclass(frozen=True)

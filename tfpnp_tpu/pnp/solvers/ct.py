@@ -50,6 +50,11 @@ def make_iadmm(denoiser, radon: Radon = None) -> Solver:
         x = denoiser(z - u, hyper["sigma_d"])
         grad = radon.backprojection_norm(radon._forward_impl(z) - y0)
         z = z - tau * (grad + mu * (z - (x + u)))
+        # projected iADMM: the image domain is [0,1]; a box with margin
+        # keeps the iteration bounded when the policy samples a divergent
+        # tau*(1+mu) > 2 (the un-projected reference solver diverges there
+        # — plausibly why its CT results table is blank, docs/results.md:57)
+        z = jnp.clip(z, -1.0, 2.0)
         u = u + x - z
         return {"x": x, "z": z, "u": u}
 

@@ -130,12 +130,15 @@ class Evaluator:
         base = self.save_dir / name / str(step)
         base.mkdir(parents=True, exist_ok=True)
         gt = np.asarray(jax.device_get(data["gt"]))
+        x0 = np.asarray(jax.device_get(data["x0"])) if "x0" in data else None
         b = gt.shape[0]
         for i in range(min(b, 8)):  # cap artifact count
             d = base / f"case{i}"
             d.mkdir(exist_ok=True)
             save_img(np.asarray(output[i]), d / f"output_{psnr_f[i]:.2f}.png")
             save_img(gt[i], d / "gt.png")
+            if x0 is not None:  # init image (reference evaluator.py:50-53)
+                save_img(x0[i], d / "init.png")
             params = {k: [float(x) for x in np.asarray(v)[:, i].reshape(-1)]
                       for k, v in actions.items()}
             params["psnr_seq"] = [float(x) for x in psnr_seq[:, i]]

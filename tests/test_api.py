@@ -1,0 +1,50 @@
+"""One-call restoration API (tfpnp_tpu.api)."""
+
+import importlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfpnp_tpu.api import restore, restore_policy
+from tfpnp_tpu.ops.metrics import psnr
+from tfpnp_tpu.pnp.tv import TVDenoiser
+from tfpnp_tpu.utils.options import Options
+
+TASKS = [("csmri", "admm"), ("pr", "iadmm"), ("ct", "iadmm"), ("spi", "admm")]
+
+
+def _data(task, solver, tmp_path, n=32, b=2):
+    opt = Options().parse(["--task", task, "--solver", solver,
+                           "--env_batch", str(b), "--image_size", str(n),
+                           "--exp", "t", "--log_root", str(tmp_path)])
+    mod = importlib.import_module(f"tfpnp_tpu.tasks.{task}")
+    _, sample_data, _, _, _ = mod.build(opt, TVDenoiser(n_iter=2))
+    return sample_data(jax.random.PRNGKey(0))
+
+
+class TestRestore:
+    @pytest.mark.parametrize("task,solver", TASKS)
+    def test_classic_restore_improves(self, task, solver, tmp_path):
+        d = _data(task, solver, tmp_path)
+        tv = TVDenoiser(n_iter=3)
+        out = restore(f"{task}_{solver}", d, denoiser=tv, iters=10)
+        assert out.shape == d["gt"].shape
+        p1 = float(psnr(out, d["gt"]).mean())
+        assert np.isfinite(p1) and p1 > 15.0, p1
+
+    def test_policy_restore_uses_shipped_actor(self, tmp_path):
+        d = _data("spi", "admm", tmp_path)
+        tv = TVDenoiser(n_iter=3)
+        out = restore_policy("spi", "admm", d, denoiser=tv)
+        classic = restore("spi_admm", d, denoiser=tv, iters=10)
+        p_rl = float(psnr(out, d["gt"]).mean())
+        p_cl = float(psnr(classic, d["gt"]).mean())
+        assert p_rl > p_cl, (p_rl, p_cl)  # the trained policy must help
+
+    def test_custom_variables_require_protocol(self, tmp_path):
+        d = _data("spi", "admm", tmp_path)
+        with pytest.raises(AssertionError, match="action_pack"):
+            restore_policy("spi", "admm", d, variables={"params": {}},
+                           denoiser=TVDenoiser(n_iter=1))

@@ -130,7 +130,12 @@ class Evaluator:
         base = self.save_dir / name / str(step)
         base.mkdir(parents=True, exist_ok=True)
         gt = np.asarray(jax.device_get(data["gt"]))
-        x0 = np.asarray(jax.device_get(data["x0"])) if "x0" in data else None
+        x0 = None
+        if "x0" in data:
+            # |x0| inside jit: complex64 d2h reads are unimplemented on the
+            # tunneled TPU backend (CS-MRI's zero-fill init is complex)
+            x0 = np.asarray(jax.device_get(
+                jax.jit(lambda a: jnp.abs(a).astype(jnp.float32))(data["x0"])))
         b = gt.shape[0]
         for i in range(min(b, 8)):  # cap artifact count
             d = base / f"case{i}"

@@ -76,3 +76,39 @@ def test_eval_sets_are_device_values_not_eager_complex(task_name, tmp_path):
     for name, data in eval_sets.items():
         for k, v in data.items():
             assert isinstance(v, jax.Array), (task_name, name, k, type(v))
+
+
+def test_eval_artifacts_never_transfer_complex(monkeypatch, tmp_path):
+    """Simulate the axon backend: any device->host read of a complex array
+    raises. A full CS-MRI eval (complex x0/y0/solver state) must still
+    produce its artifacts — regression for the init.png crash."""
+    import tfpnp_tpu.eval.evaluator as ev_mod
+    from tfpnp_tpu.eval.evaluator import Evaluator
+    from tfpnp_tpu.models.actor import actor_spec_for
+
+    real_get = jax.device_get
+
+    def guarded(x):
+        for leaf in jax.tree.leaves(x):
+            if hasattr(leaf, "dtype") and np.issubdtype(leaf.dtype,
+                                                        np.complexfloating):
+                raise RuntimeError("complex d2h transfer (axon-unsupported)")
+        return real_get(x)
+
+    monkeypatch.setattr(jax, "device_get", guarded)
+
+    opt = Options().parse(["--task", "csmri", "--solver", "admm",
+                           "--env_batch", "2", "--image_size", "32",
+                           "--exp", "tmp_d2h", "--log_root", str(tmp_path)])
+    task = importlib.import_module("tfpnp_tpu.tasks.csmri")
+    env, _, eval_sets, solver_name, _ = task.build(opt, TVDenoiser(n_iter=2))
+    name = next(iter(eval_sets))
+    ranges, actor = actor_spec_for(solver_name, opt.action_pack)
+    data = eval_sets[name]
+    obs0 = jax.jit(lambda d: env.observe(env.reset(d)))(data)
+    variables = actor.init(jax.random.PRNGKey(0), obs0[:1],
+                           use_running_average=False)
+    evaluator = Evaluator(env, actor, ranges, {name: data},
+                          save_dir=str(tmp_path / "arts"))
+    evaluator.eval(variables, step=0)
+    assert list((tmp_path / "arts").rglob("init.png")), "init artifacts missing"

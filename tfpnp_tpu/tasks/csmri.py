@@ -83,8 +83,10 @@ def build(opt, denoiser):
 
     Returns (env, sample_data, eval_sets, solver_name, lr_schedule).
     Eval sets: 7 fixed images x {x2, x4, x8} radial masks at sigma_n = 15
-    (the Medical7_2020 protocol, tasks/csmri/main.py:22-39, with procedural
-    images/masks since the reference's data is not distributed).
+    during training validation, expanded to sigma_n in {5, 10, 15} under
+    --eval (the Medical7_2020 protocol, tasks/csmri/main.py:22-39 and the
+    eval loop at :82-90, with procedural images/masks since the
+    reference's data is not distributed).
     """
     from ..data import gt_source
     from ..data.synthetic import random_images
@@ -109,13 +111,20 @@ def build(opt, denoiser):
         gt = sample_gt(k1, opt.env_batch)
         return make_data(k2, gt, masks, sigma_list=(5.0, 10.0, 15.0))
 
-    mk_eval = jax.jit(lambda k, g, m: make_data(k, g, m, sigma_list=(15.0,)))
+    # Training validation uses the sigma=15 triple (headline rows); --eval
+    # expands to the reference's full sigma in {5,10,15} x mask grid
+    # (tasks/csmri/main.py:82-90 loops all three sigmas at eval time).
+    sigmas = (5.0, 10.0, 15.0) if getattr(opt, "eval", False) else (15.0,)
+    mk_eval = jax.jit(
+        lambda k, g, m, s: make_data(k, g, m, sigma_list=(s,)),
+        static_argnums=3)
     eval_sets = {}
     for i, accel in enumerate((2, 4, 8)):
         k = jax.random.PRNGKey(7000 + i)
         gt = random_images(k, 7, n)
-        eval_sets[f"radial_{n}_{accel}_15"] = mk_eval(
-            jax.random.fold_in(k, 1), gt, masks[i:i + 1])
+        for s in sigmas:
+            eval_sets[f"radial_{n}_{accel}_{s:.0f}"] = mk_eval(
+                jax.random.fold_in(k, 1), gt, masks[i:i + 1], s)
 
     def lr_schedule(step):  # tasks/csmri/main.py:53-57
         if step < 10000:

@@ -48,3 +48,17 @@ class TestRestore:
         with pytest.raises(AssertionError, match="action_pack"):
             restore_policy("spi", "admm", d, variables={"params": {}},
                            denoiser=TVDenoiser(n_iter=1))
+
+class TestEvalSetGrid:
+    def test_csmri_eval_flag_expands_sigma_grid(self, tmp_path):
+        """--eval expands CS-MRI eval sets to sigma in {5,10,15} x {x2,x4,x8}
+        (reference tasks/csmri/main.py:82-90); training keeps sigma=15 only."""
+        mod = importlib.import_module("tfpnp_tpu.tasks.csmri")
+        base = ["--task", "csmri", "--solver", "admm", "--image_size", "32",
+                "--exp", "t", "--log_root", str(tmp_path), "--mesh_dp", "1"]
+        tv = TVDenoiser(n_iter=2)
+        _, _, train_sets, _, _ = mod.build(Options().parse(base), tv)
+        _, _, eval_sets, _, _ = mod.build(Options().parse(base + ["--eval"]), tv)
+        assert sorted(train_sets) == [f"radial_32_{a}_15" for a in (2, 4, 8)]
+        assert sorted(eval_sets) == sorted(
+            f"radial_32_{a}_{s}" for a in (2, 4, 8) for s in (10, 15, 5))

@@ -42,7 +42,7 @@ def main():
     from tfpnp_tpu.ops.radon import RadonGenerator
     from tfpnp_tpu.pnp import get_solver, run_bundle
     from tfpnp_tpu.pnp.tv import TVDenoiser
-    from tfpnp_tpu.tasks import csmri, ct, pr, spi
+    from tfpnp_tpu.tasks import csmri, ct, deblur, pr, spi
 
     if args.denoiser == "tv":
         den = TVDenoiser()
@@ -112,6 +112,16 @@ def main():
             jax.random.PRNGKey(16), jax.random.PRNGKey(17))
     run("spi_admm    x8", get_solver("spi_admm", den), data,
         {"sigma_d": B(sigmas), "mu": B(np.clip(rhos, 60 / 255, None))})
+
+    # Deblur ADMM, mixed kernel bank, sigma_n 7.65 (beyond-reference task)
+    rhos, sigmas = ops.get_rho_sigma(sigma=7.65 / 255, iter_num=it,
+                                     model_sigma1=35.0, model_sigma2=5.0)
+    kernels = jnp.asarray(deblur.kernel_bank())
+    data = jax.jit(lambda k1, k2: deblur.make_data(
+        k2, random_images(k1, b, n), kernels, sigma_list=(7.65,)))(
+            jax.random.PRNGKey(18), jax.random.PRNGKey(19))
+    run("deblur_admm mixed s7.65", get_solver("deblur_admm", den), data,
+        {"sigma_d": B(sigmas), "mu": B(rhos)})
 
     print(json.dumps({"classic_eval": rows, "size": n, "iters": it,
                       "denoiser": args.denoiser}))

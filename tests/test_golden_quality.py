@@ -88,3 +88,16 @@ class TestGoldenClassic:
                          "mu": _bc(jnp.clip(rhos, 60 / 255, None))})
         assert p0 == pytest.approx(16.52, abs=TOL)
         assert p1 == pytest.approx(20.14, abs=TOL)
+
+    def test_deblur_admm(self):
+        from tfpnp_tpu.tasks import deblur
+        rhos, sigmas = ops.get_rho_sigma(sigma=7.65 / 255, iter_num=IT,
+                                         model_sigma1=35.0, model_sigma2=5.0)
+        kernels = jnp.asarray(deblur.kernel_bank())
+        data = jax.jit(lambda k1, k2: deblur.make_data(
+            k2, random_images(k1, B, N), kernels, sigma_list=(7.65,)))(
+                jax.random.PRNGKey(18), jax.random.PRNGKey(19))
+        p0, p1 = _gains(get_solver("deblur_admm", TVDenoiser()), data,
+                        {"sigma_d": _bc(sigmas), "mu": _bc(rhos)})
+        assert p0 == pytest.approx(21.54, abs=TOL)
+        assert p1 == pytest.approx(23.55, abs=TOL)

@@ -36,6 +36,10 @@ ACTION_RANGES: Dict[str, Dict[str, Tuple[float, float]]] = {
     "pr_pg":         {"sigma_d": (70 / 255, 0.0), "tau": (2.0, 0.0)},
     "ct_iadmm":      {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.0), "tau": (2.0, 0.0)},
     "ct_pg":         {"sigma_d": (70 / 255, 0.0), "tau": (2.0, 0.0)},
+    # deblurring (beyond-reference task family, tasks/deblur.py)
+    "deblur_admm":   {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.0)},
+    "deblur_hqs":    {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.0)},
+    "deblur_pg":     {"sigma_d": (70 / 255, 0.0), "tau": (2.0, 0.0)},
     # SPI uses a deeper head and shifted ranges (network.py:263-279)
     "spi_admm":      {"sigma_d": (55 / 255, 15 / 255), "mu": (70.0, 50.0)},
 }

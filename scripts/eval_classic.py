@@ -42,7 +42,7 @@ def main():
     from tfpnp_tpu.ops.radon import RadonGenerator
     from tfpnp_tpu.pnp import get_solver, run_bundle
     from tfpnp_tpu.pnp.tv import TVDenoiser
-    from tfpnp_tpu.tasks import csmri, ct, deblur, pr, spi
+    from tfpnp_tpu.tasks import csmri, ct, deblur, pr, spi, sr
 
     if args.denoiser == "tv":
         den = TVDenoiser()
@@ -121,6 +121,15 @@ def main():
         k2, random_images(k1, b, n), kernels, sigma_list=(7.65,)))(
             jax.random.PRNGKey(18), jax.random.PRNGKey(19))
     run("deblur_admm mixed s7.65", get_solver("deblur_admm", den), data,
+        {"sigma_d": B(sigmas), "mu": B(rhos)})
+
+    # SR x2 ADMM, mixed kernel bank, sigma_n 2.55 (beyond-reference task)
+    rhos, sigmas = ops.get_rho_sigma(sigma=2.55 / 255, iter_num=it,
+                                     model_sigma1=35.0, model_sigma2=5.0)
+    data = jax.jit(lambda k1, k2: sr.make_data(
+        k2, random_images(k1, b, n), kernels, scale=2, sigma_list=(2.55,)))(
+            jax.random.PRNGKey(20), jax.random.PRNGKey(21))
+    run("sr_admm x2  s2.55", get_solver("sr_admm", den), data,
         {"sigma_d": B(sigmas), "mu": B(rhos)})
 
     print(json.dumps({"classic_eval": rows, "size": n, "iters": it,

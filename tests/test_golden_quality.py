@@ -89,6 +89,21 @@ class TestGoldenClassic:
         assert p0 == pytest.approx(16.52, abs=TOL)
         assert p1 == pytest.approx(20.14, abs=TOL)
 
+    def test_sr_admm(self):
+        from tfpnp_tpu.tasks import sr
+        from tfpnp_tpu.tasks.deblur import kernel_bank
+        rhos, sigmas = ops.get_rho_sigma(sigma=2.55 / 255, iter_num=IT,
+                                         model_sigma1=35.0, model_sigma2=5.0)
+        kernels = jnp.asarray(kernel_bank())
+        data = jax.jit(lambda k1, k2: sr.make_data(
+            k2, random_images(k1, B, N), kernels, scale=2,
+            sigma_list=(2.55,)))(
+                jax.random.PRNGKey(20), jax.random.PRNGKey(21))
+        p0, p1 = _gains(get_solver("sr_admm", TVDenoiser()), data,
+                        {"sigma_d": _bc(sigmas), "mu": _bc(rhos)})
+        assert p0 == pytest.approx(20.93, abs=TOL)
+        assert p1 == pytest.approx(24.28, abs=TOL)
+
     def test_deblur_admm(self):
         from tfpnp_tpu.tasks import deblur
         rhos, sigmas = ops.get_rho_sigma(sigma=7.65 / 255, iter_num=IT,

@@ -40,6 +40,13 @@ ACTION_RANGES: Dict[str, Dict[str, Tuple[float, float]]] = {
     "deblur_admm":   {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.0)},
     "deblur_hqs":    {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.0)},
     "deblur_pg":     {"sigma_d": (70 / 255, 0.0), "tau": (2.0, 0.0)},
+    # super-resolution (beyond-reference task family, tasks/sr.py);
+    # x2 plain names, x3/x4 suffixed — same ranges at every scale
+    **{f"sr{s}_{alg}": r for s in ("", "3", "4") for alg, r in {
+        "admm": {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.0)},
+        "hqs":  {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.0)},
+        "pg":   {"sigma_d": (70 / 255, 0.0), "tau": (2.0, 0.0)},
+    }.items()},
     # SPI uses a deeper head and shifted ranges (network.py:263-279)
     "spi_admm":      {"sigma_d": (55 / 255, 15 / 255), "mu": (70.0, 50.0)},
 }

@@ -17,8 +17,10 @@ class Options:
         p = argparse.ArgumentParser(
             description="tfpnp_tpu: tuning-free plug-and-play proximal algorithm (TPU)")
         p.add_argument("--task", default="csmri",
-                       choices=["csmri", "pr", "ct", "spi", "deblur"],
+                       choices=["csmri", "pr", "ct", "spi", "deblur", "sr"],
                        help="inverse problem")
+        p.add_argument("--scale", default=2, type=int, choices=[2, 3, 4],
+                       help="super-resolution factor (sr task only)")
         p.add_argument("--exp", default="csmri_admm_5x6_48", type=str)
         p.add_argument("--warmup", default=20, type=int,
                        help="episodes that only fill the replay memory")

@@ -82,7 +82,7 @@ class TestOperator:
         @jax.jit
         def residual(data, v, mu):
             aux = _aux(data)
-            z = _wiener_step(jnp.fft.fft2(v), aux, mu)
+            z = _wiener_step(v, aux, mu)
             kf = data["kf"]
             AtAz = blur_apply(jnp.conj(kf), blur_apply(kf, z))
             Aty = blur_apply(jnp.conj(kf), data["y0"])

@@ -85,7 +85,7 @@ class TestOperator:
             kf = psf2otf(jnp.asarray(kernel_bank()[1:2]), n)
             y0 = sr_apply(kf, gt, scale)
             aux = _make_aux(scale)({"kf": kf, "y0": y0})
-            z = sr_prox(jnp.fft.fft2(v), aux, mu)
+            z = sr_prox(v, aux, mu)
             az = sr_apply(kf, z, scale)
             ataz = jnp.real(jnp.fft.ifft2(
                 jnp.conj(kf) * jnp.fft.fft2(upsample_zero(az, scale))))
@@ -110,9 +110,8 @@ class TestOperator:
             kf = psf2otf(jnp.asarray(kernel_bank()[2:3]), n)
             y0 = sr_apply(kf, gt, 1)
             data = {"kf": kf, "y0": y0}
-            vf = jnp.fft.fft2(v)
-            return (sr_prox(vf, _make_aux(1)(data), mu),
-                    _wiener_step(vf, deblur_aux(data), mu))
+            return (sr_prox(v, _make_aux(1)(data), mu),
+                    _wiener_step(v, deblur_aux(data), mu))
 
         a, b = both(gt, v, mu)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

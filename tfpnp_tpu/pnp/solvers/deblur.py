@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ...ops.fft import fft2, ifft2  # MXU matmul-DFT on TPU
 from .base import Solver, register_solver
 
 __all__ = []
@@ -32,22 +33,28 @@ __all__ = []
 
 def _aux(data):
     # y0 in frequency space once per bundle; kf is already an OTF.
-    return {"kf": data["kf"], "y0f": jnp.fft.fft2(data["y0"])}
+    # NOTE the basis convention: ops.fft2 is orthonormal while kf is the
+    # unnormalized DFT of the kernel (psf2otf). The convolution theorem
+    # F(k*x) = kf . F(x) holds for any uniform scaling of F as long as kf
+    # stays unnormalized, so all pointwise algebra below is exact.
+    return {"kf": data["kf"], "y0f": fft2(data["y0"])}
 
 
 def _out_x(state):
     return state["x"]
 
 
-def _wiener_step(xf: jnp.ndarray, aux, mu: jnp.ndarray) -> jnp.ndarray:
+def _wiener_step(v: jnp.ndarray, aux, mu: jnp.ndarray) -> jnp.ndarray:
     """argmin_z ||Az - y||^2 + mu ||z - v||^2 for A = circular conv:
     Z = (conj(K) Y + mu V) / (|K|^2 + mu), pointwise in frequency.
-    (The DFT normalization cancels between the two Parseval terms.)"""
+    (The DFT normalization cancels between the two Parseval terms.)
+    Takes spatial ``v`` so callers never mix FFT conventions."""
     kf, y0f = aux["kf"], aux["y0f"]
+    vf = fft2(v)
     mu = mu.reshape(-1, 1, 1)
-    num = jnp.conj(kf) * y0f + mu.astype(xf.dtype) * xf
+    num = jnp.conj(kf) * y0f + mu.astype(vf.dtype) * vf
     den = jnp.abs(kf) ** 2 + mu
-    return jnp.real(jnp.fft.ifft2(num / den)).astype(jnp.float32)
+    return jnp.real(ifft2(num / den)).astype(jnp.float32)
 
 
 @register_solver("deblur_admm")
@@ -63,7 +70,7 @@ def make_admm(denoiser) -> Solver:
     def iterate(state, aux, hyper):
         x, z, u = state["x"], state["z"], state["u"]
         x = denoiser(z - u, hyper["sigma_d"])
-        z = _wiener_step(jnp.fft.fft2(x + u), aux, hyper["mu"])
+        z = _wiener_step(x + u, aux, hyper["mu"])
         u = u + x - z
         return {"x": x, "z": z, "u": u}
 
@@ -81,7 +88,7 @@ def make_hqs(denoiser) -> Solver:
 
     def iterate(state, aux, hyper):
         x = denoiser(state["z"], hyper["sigma_d"])
-        z = _wiener_step(jnp.fft.fft2(x), aux, hyper["mu"])
+        z = _wiener_step(x, aux, hyper["mu"])
         return {"x": x, "z": z}
 
     return Solver("deblur_hqs", ("x", "z"), ("sigma_d", "mu"),
@@ -99,8 +106,8 @@ def make_pg(denoiser) -> Solver:
     def iterate(state, aux, hyper):
         x = state["x"]
         kf, y0f = aux["kf"], aux["y0f"]
-        grad = jnp.real(jnp.fft.ifft2(
-            jnp.conj(kf) * (kf * jnp.fft.fft2(x) - y0f))).astype(jnp.float32)
+        grad = jnp.real(ifft2(
+            jnp.conj(kf) * (kf * fft2(x) - y0f))).astype(jnp.float32)
         tau = hyper["tau"].reshape(-1, 1, 1)
         x = denoiser(x - tau * grad, hyper["sigma_d"])
         return {"x": x}

@@ -25,10 +25,9 @@ values appear only inside ``iterate`` (tunnel rules, CLAUDE.md 3-4).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax.numpy as jnp
 
+from ...ops.fft import fft2, ifft2  # MXU matmul-DFT on TPU
 from .base import Solver, register_solver
 
 __all__ = ["sr_prox", "upsample_zero", "block_mean"]
@@ -50,8 +49,8 @@ def block_mean(f: jnp.ndarray, s: int) -> jnp.ndarray:
     return f.reshape(b, s, h, s, w).mean(axis=(1, 3))
 
 
-def sr_prox(vf: jnp.ndarray, aux, mu: jnp.ndarray) -> jnp.ndarray:
-    """argmin_z ||(k*z)↓s - y||² + mu||z - v||², given vf = F(v).
+def sr_prox(v: jnp.ndarray, aux, mu: jnp.ndarray) -> jnp.ndarray:
+    """argmin_z ||(k*z)↓s - y||² + mu||z - v||², with spatial ``v``.
 
     Decimation couples each base frequency p only to its s² aliases
     f_i = p + offsets: with c_i = F(k)[f_i] and b = AᵀY + mu·v, the
@@ -59,18 +58,22 @@ def sr_prox(vf: jnp.ndarray, aux, mu: jnp.ndarray) -> jnp.ndarray:
     shared coupling m = mean_i(c_i z_i), which solves to
       m = mean_s(F(k)·F(b)) / (mean_s|F(k)|² + mu)
       F(z) = (F(b) - conj(F(k))·tile(m)) / mu
-    (uses F(Sx) = block-mean of F(x) and F(Sᵀy) = tile of F(y) under the
-    unnormalized DFT). For s = 1 this reduces to the deconvolution Wiener
-    divide (tests lock both and the normal-equations residual).
+    (the SᵀS fold-and-tile frequency representation is invariant to the
+    DFT normalization, so this holds with the orthonormal ops.fft2 and
+    the unnormalized-kernel OTF alike). For s = 1 this reduces to the
+    deconvolution Wiener divide (tests lock both and the
+    normal-equations residual). Takes spatial ``v`` so callers never mix
+    FFT conventions.
     """
     kf, fbfy, s = aux["kf"], aux["fbfy"], aux["scale"]
+    vf = fft2(v)
     mu = mu.reshape(-1, 1, 1)
     fr = fbfy + mu.astype(vf.dtype) * vf
     fbr = block_mean(kf * fr, s)
     invw = block_mean(jnp.abs(kf) ** 2, s)
     invwbr = fbr / (invw + mu).astype(fbr.dtype)
     fcb = jnp.conj(kf) * jnp.tile(invwbr, (1, s, s))
-    return jnp.real(jnp.fft.ifft2((fr - fcb) / mu.astype(fr.dtype))
+    return jnp.real(ifft2((fr - fcb) / mu.astype(fr.dtype))
                     ).astype(jnp.float32)
 
 
@@ -78,7 +81,7 @@ def _make_aux(scale: int):
     def _aux(data):
         kf = data["kf"]
         # AᵀY = Kᵀ Sᵀ y, precomputed in frequency space once per bundle.
-        fbfy = jnp.conj(kf) * jnp.fft.fft2(upsample_zero(data["y0"], scale))
+        fbfy = jnp.conj(kf) * fft2(upsample_zero(data["y0"], scale))
         return {"kf": kf, "fbfy": fbfy, "scale": scale}
     return _aux
 
@@ -102,7 +105,7 @@ def _register_family(scale: int, suffix: str = ""):
         def iterate(state, aux, hyper):
             x = denoiser(state["z"] - state["u"], hyper["sigma_d"])
             u = state["u"]
-            z = sr_prox(jnp.fft.fft2(x + u), aux, hyper["mu"])
+            z = sr_prox(x + u, aux, hyper["mu"])
             return {"x": x, "z": z, "u": u + x - z}
 
         return Solver(f"sr{suffix}_admm", ("x", "z", "u"), ("sigma_d", "mu"),
@@ -118,7 +121,7 @@ def _register_family(scale: int, suffix: str = ""):
 
         def iterate(state, aux, hyper):
             x = denoiser(state["z"], hyper["sigma_d"])
-            z = sr_prox(jnp.fft.fft2(x), aux, hyper["mu"])
+            z = sr_prox(x, aux, hyper["mu"])
             return {"x": x, "z": z}
 
         return Solver(f"sr{suffix}_hqs", ("x", "z"), ("sigma_d", "mu"),
@@ -134,10 +137,10 @@ def _register_family(scale: int, suffix: str = ""):
         def iterate(state, aux, hyper):
             x = state["x"]
             kf, s = aux["kf"], aux["scale"]
-            ax = jnp.real(jnp.fft.ifft2(kf * jnp.fft.fft2(x)))[:, ::s, ::s]
-            grad = jnp.real(jnp.fft.ifft2(jnp.conj(kf) * jnp.fft.fft2(
+            ax = jnp.real(ifft2(kf * fft2(x)))[:, ::s, ::s]
+            grad = jnp.real(ifft2(jnp.conj(kf) * fft2(
                 upsample_zero(ax, s)))).astype(jnp.float32) \
-                - jnp.real(jnp.fft.ifft2(aux["fbfy"])).astype(jnp.float32)
+                - jnp.real(ifft2(aux["fbfy"])).astype(jnp.float32)
             tau = hyper["tau"].reshape(-1, 1, 1)
             x = denoiser(x - tau * grad, hyper["sigma_d"])
             return {"x": x}

@@ -124,6 +124,27 @@ class TestSolvers:
         gain = psnr(out, data["gt"]) - psnr(data["x0"], data["gt"])
         assert float(gain.min()) > 1.0
 
+    @pytest.mark.parametrize("name", ["deblur_admm", "deblur_hqs"])
+    def test_gradients_finite_at_tiny_mu(self, name):
+        """MDDPG regression: mu -> 0 where the OTF is ~0 blew up the update
+        (NaN at episode 23 of the first TPU training run); the projected
+        z-update must keep a 30-iteration bundle's gradients finite."""
+        solver = get_solver(name, identity_denoiser)
+        data = make_deblur_data(b=1, n=32, sigma_n=0.01, kidx=0)  # Gaussian OTF
+
+        @jax.jit
+        @jax.grad
+        def loss(mu):
+            hyper = {"sigma_d": jnp.full((1, 30), 0.05),
+                     "mu": jnp.broadcast_to(mu, (1, 30))}
+            state = run_bundle(solver, solver.init(data),
+                               solver.filter_aux(data), hyper)
+            return jnp.mean((solver.get_output(state) - data["gt"]) ** 2)
+
+        for mu in (1e-4, 5e-3, 0.3):
+            g = loss(jnp.asarray(mu))
+            assert np.isfinite(float(g)), f"{name} grad at mu={mu}: {g}"
+
     def test_differentiable_through_bundle(self):
         solver = get_solver("deblur_pg", identity_denoiser)
         data = make_deblur_data(b=1, n=16)

@@ -148,6 +148,25 @@ class TestSolvers:
         gain = psnr(out, data["gt"]) - psnr(data["x0"], data["gt"])
         assert float(gain.min()) > 0.5
 
+    def test_gradients_finite_at_tiny_mu(self):
+        """Same MDDPG stability contract as deblur: sr_prox has an explicit
+        1/mu, so the projected z-update must bound a long bundle's grads."""
+        solver = get_solver("sr_admm", identity_denoiser)
+        data = make_sr_data(b=1, n=32, scale=2, sigma_n=0.01)
+
+        @jax.jit
+        @jax.grad
+        def loss(mu):
+            hyper = {"sigma_d": jnp.full((1, 30), 0.05),
+                     "mu": jnp.broadcast_to(mu, (1, 30))}
+            state = run_bundle(solver, solver.init(data),
+                               solver.filter_aux(data), hyper)
+            return jnp.mean((solver.get_output(state) - data["gt"]) ** 2)
+
+        for mu in (1e-4, 1e-2, 0.3):
+            g = loss(jnp.asarray(mu))
+            assert np.isfinite(float(g)), f"grad at mu={mu}: {g}"
+
     def test_differentiable_through_bundle(self):
         solver = get_solver("sr_pg", identity_denoiser)
         data = make_sr_data(b=1, n=16, scale=2)

@@ -36,15 +36,19 @@ ACTION_RANGES: Dict[str, Dict[str, Tuple[float, float]]] = {
     "pr_pg":         {"sigma_d": (70 / 255, 0.0), "tau": (2.0, 0.0)},
     "ct_iadmm":      {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.0), "tau": (2.0, 0.0)},
     "ct_pg":         {"sigma_d": (70 / 255, 0.0), "tau": (2.0, 0.0)},
-    # deblurring (beyond-reference task family, tasks/deblur.py)
-    "deblur_admm":   {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.0)},
-    "deblur_hqs":    {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.0)},
+    # deblurring (beyond-reference task family, tasks/deblur.py).
+    # mu gets a small positive floor: the Wiener denominator is
+    # |K|^2 + mu and Gaussian OTFs reach |K| ~ 1e-8, so mu -> 0 blows up
+    # the MDDPG gradient through the solver (observed NaN at episode 23).
+    "deblur_admm":   {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.005)},
+    "deblur_hqs":    {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.005)},
     "deblur_pg":     {"sigma_d": (70 / 255, 0.0), "tau": (2.0, 0.0)},
     # super-resolution (beyond-reference task family, tasks/sr.py);
-    # x2 plain names, x3/x4 suffixed — same ranges at every scale
+    # x2 plain names, x3/x4 suffixed — same ranges at every scale.
+    # The sr prox has an explicit 1/mu, hence the larger floor.
     **{f"sr{s}_{alg}": r for s in ("", "3", "4") for alg, r in {
-        "admm": {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.0)},
-        "hqs":  {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.0)},
+        "admm": {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.01)},
+        "hqs":  {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.01)},
         "pg":   {"sigma_d": (70 / 255, 0.0), "tau": (2.0, 0.0)},
     }.items()},
     # SPI uses a deeper head and shifted ranges (network.py:263-279)

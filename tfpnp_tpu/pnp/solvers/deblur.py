@@ -54,7 +54,12 @@ def _wiener_step(v: jnp.ndarray, aux, mu: jnp.ndarray) -> jnp.ndarray:
     mu = mu.reshape(-1, 1, 1)
     num = jnp.conj(kf) * y0f + mu.astype(vf.dtype) * vf
     den = jnp.abs(kf) ** 2 + mu
-    return jnp.real(ifft2(num / den)).astype(jnp.float32)
+    z = jnp.real(ifft2(num / den)).astype(jnp.float32)
+    # Projected splitting, as in ct_iadmm (ct.py:53-57): the image domain
+    # is [0,1]; a box with margin is a no-op on the stable path but keeps
+    # iterates (and their gradients in the MDDPG update) bounded when the
+    # policy samples mu ~ 0 where the OTF has near-zero magnitude.
+    return jnp.clip(z, -1.0, 2.0)
 
 
 @register_solver("deblur_admm")

@@ -73,8 +73,11 @@ def sr_prox(v: jnp.ndarray, aux, mu: jnp.ndarray) -> jnp.ndarray:
     invw = block_mean(jnp.abs(kf) ** 2, s)
     invwbr = fbr / (invw + mu).astype(fbr.dtype)
     fcb = jnp.conj(kf) * jnp.tile(invwbr, (1, s, s))
-    return jnp.real(ifft2((fr - fcb) / mu.astype(fr.dtype))
-                    ).astype(jnp.float32)
+    z = jnp.real(ifft2((fr - fcb) / mu.astype(fr.dtype))).astype(jnp.float32)
+    # Projected splitting (see deblur._wiener_step / ct.py:53-57): the
+    # explicit 1/mu makes small policy-sampled mu catastrophic in f32;
+    # the box keeps iterates and MDDPG gradients bounded, no-op otherwise.
+    return jnp.clip(z, -1.0, 2.0)
 
 
 def _make_aux(scale: int):

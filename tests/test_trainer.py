@@ -76,6 +76,52 @@ class TestTrainerEndToEnd:
             np.testing.assert_allclose(a, b)
 
 
+class TestNanGuard:
+    def test_poisoned_batch_skips_update(self, tmp_path):
+        """A replay batch with non-finite solver state must leave params,
+        optimizer state, and BN stats untouched and set metrics['skipped']
+        (regression for the NaN-at-episode-23 deblur incident: one bad
+        update permanently poisoned the actor)."""
+        cfg = TrainConfig(train_steps=2, env_batch=4, max_episode_step=2,
+                          action_pack=2, rmsize=8, warmup=1,
+                          episode_train_times=1, validate_interval=1000,
+                          save_freq=10_000, seed=0)
+        solver = get_solver("csmri_admm", TVDenoiser(n_iter=5))
+        env = PnPEnv(solver, csmri.pack_obs, max_episode_step=cfg.max_episode_step)
+        masks = jnp.asarray(np.stack([csmri.radial_mask(N, 4)]))
+
+        def sample_data(key):
+            k1, k2 = jax.random.split(key)
+            return csmri.make_data(k2, random_images(k1, cfg.env_batch, N), masks)
+
+        ranges, actor = actor_spec_for("csmri_admm", cfg.action_pack)
+        trainer = MDDPGTrainer(cfg, env, actor, ranges, sample_data,
+                               lr_schedule=lambda s: {"actor": 1e-3, "critic": 3e-4},
+                               log_dir=str(tmp_path))
+        trainer.train()
+
+        batch = trainer.buffer.sample(cfg.env_batch, trainer.rng)
+        batch = jax.tree.map(jnp.asarray, batch)
+        # poison every float leaf of the stored solver state
+        batch["solver"] = jax.tree.map(
+            lambda a: jnp.full_like(a, jnp.nan) if a.dtype == jnp.float32 else a,
+            batch["solver"])
+
+        before = jax.device_get({"a": trainer.actor_params,
+                                 "c": trainer.critic_params})
+        k = jax.random.PRNGKey(3)
+        (a_params, a_stats, c_params, t_params, a_opt, c_opt, metrics) = \
+            trainer._update(trainer.actor_params, trainer.actor_stats,
+                            trainer.critic_params, trainer.target_params,
+                            trainer.actor_opt, trainer.critic_opt,
+                            trainer.shard(batch), k, 1e-3, 3e-4)
+        assert float(metrics["skipped"]) == 1.0
+        after = jax.device_get({"a": a_params, "c": c_params})
+        for x, y in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+            np.testing.assert_array_equal(x, y)
+        assert all(np.all(np.isfinite(l)) for l in jax.tree.leaves(after))
+
+
 class TestWireCodec:
     def test_roundtrip_and_wire_rank(self):
         """Complex leaves must round-trip exactly and never gain rank on

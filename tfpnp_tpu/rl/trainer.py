@@ -254,10 +254,31 @@ class MDDPGTrainer:
 
         a_norm = optax.global_norm(a_grads)
         c_norm = optax.global_norm(c_grads)
-        a_updates, actor_opt = self.tx.update(a_grads, actor_opt, actor_params)
-        actor_params = jax.tree.map(lambda p, u: p - lr_a * u, actor_params, a_updates)
-        c_updates, critic_opt = self.tx.update(c_grads, critic_opt, critic_params)
-        critic_params = jax.tree.map(lambda p, u: p - lr_c * u, critic_params, c_updates)
+        # Non-finite guard: one divergent replay batch must not poison the
+        # params forever (observed: solver iterates can overflow under
+        # extreme sampled hyperparameters before a solver-level projection
+        # landed; a single NaN step made every later episode NaN). If any
+        # loss/grad is non-finite, this whole update becomes a no-op and
+        # the `skipped` metric flags it. The reference has no such guard.
+        ok = (jnp.isfinite(policy_loss) & jnp.isfinite(value_loss)
+              & jnp.isfinite(a_norm) & jnp.isfinite(c_norm))
+
+        def _keep(new, old):
+            return jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o.astype(n.dtype)), new, old)
+
+        a_updates, new_actor_opt = self.tx.update(a_grads, actor_opt, actor_params)
+        new_actor_params = jax.tree.map(
+            lambda p, u: p - lr_a * u, actor_params, a_updates)
+        c_updates, new_critic_opt = self.tx.update(c_grads, critic_opt, critic_params)
+        new_critic_params = jax.tree.map(
+            lambda p, u: p - lr_c * u, critic_params, c_updates)
+
+        actor_params = _keep(new_actor_params, actor_params)
+        critic_params = _keep(new_critic_params, critic_params)
+        actor_opt = _keep(new_actor_opt, actor_opt)
+        critic_opt = _keep(new_critic_opt, critic_opt)
+        new_stats = _keep(new_stats, actor_stats)
 
         # Polyak soft update (misc.py:81-86, trainer.py:212)
         target_params = jax.tree.map(
@@ -265,7 +286,8 @@ class MDDPGTrainer:
 
         metrics = {"Q": -policy_loss, "critic_loss": value_loss,
                    "dist_entropy": mean_ent, "actor_norm": a_norm,
-                   "critic_norm": c_norm}
+                   "critic_norm": c_norm,
+                   "skipped": 1.0 - ok.astype(jnp.float32)}
         return (actor_params, new_stats, critic_params, target_params,
                 actor_opt, critic_opt, metrics)
 

@@ -39,6 +39,7 @@ class TestEvaluator:
         seqs = json.loads((case / "action_seqs.json").read_text())
         assert "psnr_seq" in seqs and len(seqs["psnr_seq"]) == 4
         assert "sigma_d" in seqs and len(seqs["sigma_d"]) == 8  # pack*steps
+        assert (case / "action_sigma_d.png").exists()  # ref evaluator.py:58-63
 
     def test_early_exit_iters_bounded(self, tmp_path):
         ev, avars = _setup(tmp_path)

@@ -51,17 +51,21 @@ def main():
         if not m:
             logger.log(f"skipping unparseable policy file {name}")
             continue
-        task_name, solver, pack, steps = m.group(1), m.group(2), int(m.group(3)), int(m.group(4))
+        raw_task, solver, pack, steps = m.group(1), m.group(2), int(m.group(3)), int(m.group(4))
+        # scale-suffixed SR families: sr4_admm -> task sr, --scale 4
+        sm = re.match(r"([a-z]+)(\d+)$", raw_task)
+        task_name = sm.group(1) if sm else raw_task
+        extra = ["--scale", sm.group(2)] if sm else []
         opt = Options().parse(
-            ["--task", task_name, "--solver", solver, "--exp", f"evalall_{task_name}_{solver}",
+            ["--task", task_name, "--solver", solver, "--exp", f"evalall_{raw_task}_{solver}",
              "--log_root", args.out, "--action_pack", str(pack),
              "--max_episode_step", str(steps), "--image_size", str(args.image_size),
-             "--mesh_dp", "1"])
+             "--mesh_dp", "1"] + extra)
         task = importlib.import_module(f"tfpnp_tpu.tasks.{task_name}")
         env, _, eval_sets, solver_name, _ = task.build(opt, denoiser)
         ranges, actor = actor_spec_for(solver_name, pack)
         variables = jax.tree.map(jax.numpy.asarray,
-                                 pretrained.load_policy(task_name, solver))
+                                 pretrained.load_policy(solver_name))
         ev = Evaluator(env, actor, ranges, eval_sets,
                        save_dir=f"{args.out}/{task_name}_{solver}", logger=logger)
         logger.log(f"## {name} ({pack}x{steps}, {args.image_size}^2)")

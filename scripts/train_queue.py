@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Sequential TPU training queue with crash-resume.
+
+Runs `python -m tfpnp_tpu` jobs one at a time (the tunneled chip is
+exclusive; CLAUDE.md), retrying through chip-wedge windows. On a failed
+attempt it resumes from the NEWEST checkpoint the crashed run left
+behind (step_*.pkl / interrupted.pkl / best.pkl — a crashed run never
+writes final.pkl, so probing only for final.pkl would silently retrain
+from scratch).
+
+Usage:
+  python scripts/train_queue.py JOB [JOB ...] [--bench]
+where JOB is task:solver[:scale][:steps], e.g.
+  python scripts/train_queue.py deblur:admm sr:admm:2 --bench
+"""
+
+import argparse
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+COMMON = ["--env_batch", "48", "--rmsize", "480", "--warmup", "20",
+          "--max_episode_step", "6", "--action_pack", "5",
+          "--episode_train_times", "10", "--validate_interval", "50",
+          "--save_freq", "300", "-lp", "0.05", "-le", "0.2"]
+
+
+def newest_checkpoint(exp: str):
+    ckpt_dir = ROOT / "logs" / exp / "ckpt"
+    if not ckpt_dir.is_dir():
+        return None
+    cands = [p for p in ckpt_dir.iterdir()
+             if p.name.startswith(("step_", "interrupted", "best"))]
+    return max(cands, key=lambda p: p.stat().st_mtime) if cands else None
+
+
+def run_job(spec: str) -> bool:
+    parts = spec.split(":")
+    task, solver = parts[0], parts[1]
+    scale = parts[2] if len(parts) > 2 and parts[2] else None
+    steps = parts[3] if len(parts) > 3 else "2400"
+    exp = f"{task}{scale if task == 'sr' and scale else ''}_{solver}_5x6_48"
+    cmd = [sys.executable, "-m", "tfpnp_tpu", "--task", task,
+           "--solver", solver, "--exp", exp, "--train_steps", steps] + COMMON
+    if task == "sr" and scale:
+        cmd += ["--scale", scale]
+    for attempt in (1, 2, 3):
+        resume = newest_checkpoint(exp) if attempt > 1 else None
+        extra = ["-r", str(resume)] if resume else []
+        print(f"=== {exp} attempt {attempt}"
+              + (f" (resume {resume.name})" if resume else "") + " ===",
+              flush=True)
+        if subprocess.run(cmd + extra, cwd=ROOT).returncode == 0:
+            print(f"=== {exp} OK ===", flush=True)
+            return True
+        print(f"=== {exp} failed; waiting out possible chip wedge ===",
+              flush=True)
+        time.sleep(300)
+    print(f"=== {exp} FAILED after 3 attempts ===", flush=True)
+    return False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("jobs", nargs="+", help="task:solver[:scale][:steps]")
+    ap.add_argument("--bench", action="store_true",
+                    help="run bench.py after the queue")
+    args = ap.parse_args()
+    for spec in args.jobs:
+        run_job(spec)
+    if args.bench:
+        subprocess.run([sys.executable, "bench.py"], cwd=ROOT)
+    print("=== queue complete ===", flush=True)
+
+
+if __name__ == "__main__":
+    main()

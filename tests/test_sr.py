@@ -71,11 +71,11 @@ class TestOperator:
         np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
                                    rtol=1e-6)
 
-    @pytest.mark.parametrize("scale", [1, 2, 4])
+    @pytest.mark.parametrize("scale", [1, 2, 3, 4])
     def test_sr_prox_solves_normal_equations(self, scale):
         # z* = argmin ||Az-y||² + mu||z-v||²  =>  (AᵀA + mu I) z = Aᵀy + mu v
         from tfpnp_tpu.pnp.solvers.sr import _make_aux
-        n = 16
+        n = 48 if scale == 3 else 16  # n must be divisible by the scale
         gt = make_phantom(1, n)
         v = make_phantom(1, n) * 0.7 + 0.1
         mu = jnp.asarray([0.3])
@@ -193,6 +193,11 @@ class TestEnvAndData:
         assert data["x0"].shape == (4, 32, 32)
         assert data["kf"].dtype == jnp.complex64
         assert np.isfinite(np.asarray(data["y0"])).all()
+
+    def test_make_data_rejects_indivisible_size(self):
+        gt = make_phantom(1, 32)  # 32 % 3 != 0
+        with pytest.raises(ValueError, match="divisible"):
+            make_data(KEY, gt, jnp.asarray(kernel_bank()), scale=3)
 
     def test_env_episode_and_obs_layout(self):
         from tfpnp_tpu.env.base import PnPEnv

@@ -108,7 +108,8 @@ class TestNanGuard:
             batch["solver"])
 
         before = jax.device_get({"a": trainer.actor_params,
-                                 "c": trainer.critic_params})
+                                 "c": trainer.critic_params,
+                                 "t": trainer.target_params})
         k = jax.random.PRNGKey(3)
         (a_params, a_stats, c_params, t_params, a_opt, c_opt, metrics) = \
             trainer._update(trainer.actor_params, trainer.actor_stats,
@@ -116,7 +117,9 @@ class TestNanGuard:
                             trainer.actor_opt, trainer.critic_opt,
                             trainer.shard(batch), k, 1e-3, 3e-4)
         assert float(metrics["skipped"]) == 1.0
-        after = jax.device_get({"a": a_params, "c": c_params})
+        # logged scalars are sanitized, not NaN
+        assert all(np.isfinite(float(v)) for v in metrics.values())
+        after = jax.device_get({"a": a_params, "c": c_params, "t": t_params})
         for x, y in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
             np.testing.assert_array_equal(x, y)
         assert all(np.all(np.isfinite(l)) for l in jax.tree.leaves(after))

@@ -81,20 +81,29 @@ def restore(solver_name: str, data: Mapping[str, Any], *,
 def restore_policy(task: str, solver: str, data: Mapping[str, Any], *,
                    variables: Optional[dict] = None, denoiser=None,
                    max_episode_step: Optional[int] = None,
-                   action_pack: Optional[int] = None) -> jnp.ndarray:
+                   action_pack: Optional[int] = None,
+                   scale: int = 2) -> jnp.ndarray:
     """Policy-driven restoration: the shipped (or given) actor chooses
     sigma_d/mu/tau per image per iteration and stops early, exactly as in
-    evaluation (greedy argmax stop, Evaluator._episode_impl)."""
+    evaluation (greedy argmax stop, Evaluator._episode_impl).
+    ``scale`` selects the SR factor when ``task == 'sr'`` (policies are
+    per-scale; the registry never silently substitutes another scale)."""
     import re
 
     from . import pretrained
     from .env.base import PnPEnv
     from .models.actor import actor_spec_for, policy_apply
 
+    if task == "sr":
+        from .tasks.sr import solver_name_for
+        solver_name = solver_name_for(solver, scale)
+    else:
+        solver_name = f"{task}_{solver}"
+
     if variables is None:
-        variables = jax.tree.map(jnp.asarray, pretrained.load_policy(task, solver))
+        variables = jax.tree.map(jnp.asarray, pretrained.load_policy(solver_name))
         m = re.match(r".*_(\d+)x(\d+)_actor\.pkl",
-                     pretrained.policy_path(task, solver).name)
+                     pretrained.policy_path(solver_name).name)
         pack = action_pack or int(m.group(1))
         steps = max_episode_step or int(m.group(2))
     else:
@@ -105,7 +114,6 @@ def restore_policy(task: str, solver: str, data: Mapping[str, Any], *,
     denoiser = _default_denoiser(denoiser)
     import importlib
     task_mod = importlib.import_module(f"tfpnp_tpu.tasks.{task}")
-    solver_name = f"{task}_{solver}"
     if solver_name.startswith("ct_"):
         solver_obj = _ct_solver(solver_name, denoiser, data)
     else:

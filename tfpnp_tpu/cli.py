@@ -58,11 +58,11 @@ def main(argv=None):
                 state = pickle.load(f)
             variables = {"params": state["actor_params"],
                          "batch_stats": state["actor_stats"]}
-        else:  # fall back to the shipped policy for this (task, solver)
+        else:  # fall back to the shipped policy for this solver name
             from . import pretrained
-            variables = pretrained.load_policy(opt.task, opt.solver)
+            variables = pretrained.load_policy(solver_name)
             logger.log(f"loaded shipped policy "
-                       f"{pretrained.policy_path(opt.task, opt.solver).name}")
+                       f"{pretrained.policy_path(solver_name).name}")
         variables = jax.tree.map(jax.numpy.asarray, variables)
         from .utils.profiling import trace
         with trace(f"{opt.output}/trace", enabled=opt.profile):

@@ -150,9 +150,8 @@ class Evaluator:
             with open(d / "action_seqs.json", "w") as f:
                 json.dump(params, f, indent=1)
             seq_plot(psnr_seq[:, i], "step", "psnr", d / "psnr.png")
-            # per-action sequence plots (reference evaluator.py:58-63)
+            # per-action sequence plots (reference evaluator.py:58-63;
+            # idx_stop is excluded from the action buffer at creation)
             for k, v in actions.items():
-                if k == "idx_stop":
-                    continue
                 seq_plot(np.asarray(v)[:, i].reshape(-1), "iteration", k,
                          d / f"action_{k}.png")

@@ -25,21 +25,29 @@ def available_policies() -> list[str]:
     return sorted(p.name for p in _DIR.glob("*_actor.pkl"))
 
 
-def policy_path(task: str, solver: str) -> Optional[Path]:
-    """Locate a shipped actor checkpoint for (task, solver), or None.
+def policy_path(name: str, solver: Optional[str] = None) -> Optional[Path]:
+    """Locate a shipped actor checkpoint, or None.
 
-    Files follow ``{task}_{solver}_{pack}x{steps}_actor.pkl``.
+    ``name`` is the registry solver name (``csmri_admm``, ``sr4_admm``);
+    files follow ``{solver_name}_{pack}x{steps}_actor.pkl``. The registry
+    is keyed by the full solver name so scale-suffixed SR families
+    (``sr4_admm``) never alias the x2 policy. The legacy two-argument form
+    ``policy_path(task, solver)`` still works.
     """
-    hits = sorted(_DIR.glob(f"{task}_{solver}_*_actor.pkl"))
+    if solver is not None:
+        name = f"{name}_{solver}"
+    hits = sorted(_DIR.glob(f"{name}_[0-9]*_actor.pkl"))
     return hits[0] if hits else None
 
 
-def load_policy(task: str, solver: str) -> dict:
-    """Load shipped actor variables {'params', 'batch_stats'} for a task."""
-    path = policy_path(task, solver)
+def load_policy(name: str, solver: Optional[str] = None) -> dict:
+    """Load shipped actor variables {'params', 'batch_stats'} by registry
+    solver name (or the legacy ``(task, solver)`` pair)."""
+    path = policy_path(name, solver)
     if path is None:
+        key = name if solver is None else f"{name}_{solver}"
         raise FileNotFoundError(
-            f"no shipped policy for task={task!r} solver={solver!r}; "
+            f"no shipped policy for {key!r}; "
             f"available: {available_policies()} — train one with "
             "python -m tfpnp_tpu or pass --resume CKPT")
     with open(path, "rb") as f:

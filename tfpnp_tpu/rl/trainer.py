@@ -280,13 +280,17 @@ class MDDPGTrainer:
         critic_opt = _keep(new_critic_opt, critic_opt)
         new_stats = _keep(new_stats, actor_stats)
 
-        # Polyak soft update (misc.py:81-86, trainer.py:212)
-        target_params = jax.tree.map(
-            lambda t, s: t * (1.0 - cfg.tau) + s * cfg.tau, target_params, critic_params)
+        # Polyak soft update (misc.py:81-86, trainer.py:212) — also under
+        # the guard: a skipped update must not drift the target either
+        target_params = _keep(jax.tree.map(
+            lambda t, s: t * (1.0 - cfg.tau) + s * cfg.tau,
+            target_params, critic_params), target_params)
 
-        metrics = {"Q": -policy_loss, "critic_loss": value_loss,
-                   "dist_entropy": mean_ent, "actor_norm": a_norm,
-                   "critic_norm": c_norm,
+        # sanitize logged scalars on skipped steps (no NaN to tensorboard)
+        fin = lambda v: jnp.where(ok, v, 0.0)
+        metrics = {"Q": fin(-policy_loss), "critic_loss": fin(value_loss),
+                   "dist_entropy": fin(mean_ent), "actor_norm": fin(a_norm),
+                   "critic_norm": fin(c_norm),
                    "skipped": 1.0 - ok.astype(jnp.float32)}
         return (actor_params, new_stats, critic_params, target_params,
                 actor_opt, critic_opt, metrics)

@@ -39,6 +39,10 @@ def make_data(key: jax.Array, gt: jnp.ndarray, kernels: jnp.ndarray,
     discrete noise level, Gaussian measurement noise on the low-res grid.
     ``gt`` H, W must be divisible by ``scale``."""
     b, h, w = gt.shape
+    if h % scale or w % scale:
+        raise ValueError(
+            f"SR scale {scale} requires image dims divisible by it, got "
+            f"{h}x{w} — the aliased-band fold reshapes H into (scale, H/scale)")
     k1, k2, k3 = jax.random.split(key, 3)
     otfs = psf2otf(kernels, h)
     kf = otfs[jax.random.randint(k1, (b,), 0, otfs.shape[0])]
@@ -67,14 +71,16 @@ def build(opt, denoiser):
     from ..env.base import PnPEnv
     from ..pnp.solvers import get_solver
 
-    n = opt.image_size
     scale = getattr(opt, "scale", 2)
+    # the aliased-band fold needs H, W divisible by scale; round the
+    # working resolution down to the nearest multiple (128 -> 126 at x3)
+    n = opt.image_size - (opt.image_size % scale)
     name = solver_name_for(opt.solver, scale)
     solver = get_solver(name, denoiser)
     env = PnPEnv(solver, pack_obs, max_episode_step=opt.max_episode_step)
 
     kernels = jnp.asarray(kernel_bank())
-    sample_gt = gt_source(opt)
+    sample_gt = gt_source(opt, size=n)
 
     @jax.jit
     def sample_data(key):

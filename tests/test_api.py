@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from tfpnp_tpu.api import restore, restore_policy
+from tfpnp_tpu.data.synthetic import random_images
 from tfpnp_tpu.ops.metrics import psnr
 from tfpnp_tpu.pnp.tv import TVDenoiser
 from tfpnp_tpu.utils.options import Options
@@ -42,6 +43,22 @@ class TestRestore:
         p_rl = float(psnr(out, d["gt"]).mean())
         p_cl = float(psnr(classic, d["gt"]).mean())
         assert p_rl > p_cl, (p_rl, p_cl)  # the trained policy must help
+
+    def test_policy_restore_deblur_shipped_actor(self, tmp_path):
+        """The beyond-reference deblur family ships a trained policy; the
+        one-call API must load it by solver name and beat the classic
+        schedule (same contract as the reference tasks above)."""
+        from tfpnp_tpu.tasks import deblur as dtask
+        kernels = jnp.asarray(dtask.kernel_bank())
+        d = jax.jit(lambda k1, k2: dtask.make_data(
+            k2, random_images(k1, 2, 64), kernels, sigma_list=(7.65,)))(
+                jax.random.PRNGKey(30), jax.random.PRNGKey(31))
+        tv = TVDenoiser(n_iter=3)
+        out = restore_policy("deblur", "admm", d, denoiser=tv)
+        assert out.shape == d["gt"].shape
+        p_rl = float(psnr(out, d["gt"]).mean())
+        p0 = float(psnr(d["x0"], d["gt"]).mean())
+        assert np.isfinite(p_rl) and p_rl > p0, (p_rl, p0)
 
     def test_custom_variables_require_protocol(self, tmp_path):
         d = _data("spi", "admm", tmp_path)

@@ -8,6 +8,9 @@ package data with a tiny registry, so ``--eval`` works out of the box:
 
 Actor pickles hold {"actor_params", "actor_stats", "step"} (the actor
 subset of the trainer's full-state checkpoint, rl/trainer.py:save).
+Files are named ``{solver_name}_{pack}x{steps}_actor.pkl`` and the
+registry is keyed by the full solver name (``sr4_admm`` is distinct
+from ``sr_admm``); ship with scripts/ship_policy.py.
 """
 
 from __future__ import annotations

@@ -76,6 +76,57 @@ class TestTrainerEndToEnd:
             np.testing.assert_allclose(a, b)
 
 
+class TestOrbaxCheckpoint:
+    def test_orbax_roundtrip_and_evalside_load(self, tmp_path):
+        """The orbax backend (utils/checkpoint.py) must round-trip the full
+        train state — params, BN stats, optax namedtuple states, RNG — and
+        support eval-style template-free loads of the actor subset."""
+        cfg = TrainConfig(train_steps=2, env_batch=4, max_episode_step=2,
+                          action_pack=2, rmsize=8, warmup=1,
+                          episode_train_times=1, validate_interval=1000,
+                          save_freq=10_000, seed=0, ckpt_backend="orbax")
+        solver = get_solver("csmri_admm", TVDenoiser(n_iter=5))
+        env = PnPEnv(solver, csmri.pack_obs, max_episode_step=cfg.max_episode_step)
+        masks = jnp.asarray(np.stack([csmri.radial_mask(N, 4)]))
+
+        def sample_data(key):
+            k1, k2 = jax.random.split(key)
+            return csmri.make_data(k2, random_images(k1, cfg.env_batch, N), masks)
+
+        ranges, actor = actor_spec_for("csmri_admm", cfg.action_pack)
+        trainer = MDDPGTrainer(cfg, env, actor, ranges, sample_data,
+                               lr_schedule=lambda s: {"actor": 1e-3, "critic": 3e-4},
+                               log_dir=str(tmp_path))
+        assert trainer.ckpt_ext == ".orbax"
+        ckpt = tmp_path / "ckpt" / "t.orbax"
+        trainer.save(ckpt, step=7)
+        assert ckpt.is_dir() and (ckpt / "meta.json").exists()
+
+        before = jax.device_get({"a": trainer.actor_params,
+                                 "o": trainer.actor_opt,
+                                 "c": trainer.critic_params})
+        # perturb, then restore
+        trainer.actor_params = jax.tree.map(lambda a: a + 1.0, trainer.actor_params)
+        trainer.load(ckpt)
+        assert trainer.start_step == 8
+        after = jax.device_get({"a": trainer.actor_params,
+                                "o": trainer.actor_opt,
+                                "c": trainer.critic_params})
+        for x, y in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+            np.testing.assert_array_equal(x, y)
+        # optax namedtuple structure survives the template restore
+        assert type(trainer.actor_opt) is type(before["o"]) or \
+            jax.tree.structure(trainer.actor_opt) == jax.tree.structure(before["o"])
+
+        # eval-side load (cli.py --eval -r DIR): no template available
+        from tfpnp_tpu.utils.checkpoint import load_state
+        state = load_state(ckpt)
+        assert state["step"] == 7
+        for x, y in zip(jax.tree.leaves(state["actor_params"]),
+                        jax.tree.leaves(before["a"])):
+            np.testing.assert_array_equal(np.asarray(x), y)
+
+
 class TestNanGuard:
     def test_poisoned_batch_skips_update(self, tmp_path):
         """A replay batch with non-finite solver state must leave params,

@@ -10,7 +10,6 @@ Usage:
 from __future__ import annotations
 
 import importlib
-import pickle
 from pathlib import Path
 
 import jax
@@ -54,8 +53,8 @@ def main(argv=None):
 
     if opt.eval:
         if opt.resume:
-            with open(opt.resume, "rb") as f:
-                state = pickle.load(f)
+            from .utils.checkpoint import load_state
+            state = load_state(opt.resume)
             variables = {"params": state["actor_params"],
                          "batch_stats": state["actor_stats"]}
         else:  # fall back to the shipped policy for this solver name
@@ -76,7 +75,8 @@ def main(argv=None):
         tau=opt.tau, loop_penalty=opt.loop_penalty, lambda_e=opt.lambda_e,
         episode_train_times=opt.episode_train_times,
         validate_interval=opt.validate_interval, save_freq=opt.save_freq,
-        seed=opt.seed, replay_backend=opt.replay)
+        seed=opt.seed, replay_backend=opt.replay,
+        ckpt_backend=opt.ckpt_backend)
     trainer = MDDPGTrainer(cfg, env, actor, ranges, sample_data, lr_schedule,
                            evaluator=evaluator, log_dir=opt.output,
                            logger=logger, shard_batch=shard)
@@ -88,7 +88,8 @@ def main(argv=None):
             trainer.train()
     else:
         trainer.train()
-    trainer.save(Path(opt.output) / "ckpt" / "final.pkl", opt.train_steps)
+    trainer.save(Path(opt.output) / "ckpt" / f"final{trainer.ckpt_ext}",
+                 opt.train_steps)
 
 
 if __name__ == "__main__":

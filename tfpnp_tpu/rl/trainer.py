@@ -33,7 +33,6 @@ sync-BN machinery (736 LoC) is replaced by array placement.
 
 from __future__ import annotations
 
-import pickle
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -48,6 +47,7 @@ import optax
 from ..env.base import PnPEnv
 from ..models.actor import ResNetActor, policy_apply
 from ..models.critic import ResNetCritic
+from ..utils.checkpoint import load_state, save_state
 from ..utils.codec import make_codec
 from ..utils.log import Logger
 from .replay import make_replay_buffer
@@ -78,6 +78,9 @@ class TrainConfig:
     # "device" = HBM-resident replay ring (experience never crosses the
     # host boundary); "native" = C++ host engine; "host" = numpy
     replay_backend: str = "device"
+    # "pickle" = single-host .pkl file; "orbax" = sharded tensorstore dir
+    # (multi-host-safe; utils/checkpoint.py)
+    ckpt_backend: str = "pickle"
 
 
 def _tx():
@@ -374,7 +377,7 @@ class MDDPGTrainer:
                     eval_psnr = self.evaluator.eval(self.actor_variables(), step)
                     if eval_psnr > best_eval:
                         best_eval = eval_psnr
-                        self.save(Path(self.logger.log_dir) / "ckpt" / "best.pkl", step)
+                        self.save(Path(self.logger.log_dir) / "ckpt" / f"best{self.ckpt_ext}", step)
 
             train_time = time.time() - t_stamp
             mean_reward = float(np.asarray(rewards).sum(0).mean())
@@ -388,12 +391,12 @@ class MDDPGTrainer:
                                        "acc_reward": mean_reward, **result})
 
             if step % cfg.save_freq < cfg.max_episode_step:
-                self.save(Path(self.logger.log_dir) / "ckpt" / f"step_{step:07d}.pkl", step)
+                self.save(Path(self.logger.log_dir) / "ckpt" / f"step_{step:07d}{self.ckpt_ext}", step)
             t_stamp = time.time()
 
         if stop_requested["flag"]:
             self.logger.log("termination signal: saving checkpoint and exiting")
-            self.save(Path(self.logger.log_dir) / "ckpt" / "interrupted.pkl", step)
+            self.save(Path(self.logger.log_dir) / "ckpt" / f"interrupted{self.ckpt_ext}", step)
         try:
             import signal
             for s, h in prev_handlers.items():
@@ -408,10 +411,12 @@ class MDDPGTrainer:
     def actor_variables(self):
         return {"params": self.actor_params, "batch_stats": self.actor_stats}
 
-    def save(self, path, step: int):
-        path = Path(path)
-        path.parent.mkdir(parents=True, exist_ok=True)
-        state = {
+    @property
+    def ckpt_ext(self) -> str:
+        return ".pkl" if self.cfg.ckpt_backend == "pickle" else ".orbax"
+
+    def _state_dict(self, step: int):
+        return {
             "step": step,
             "actor_params": self.actor_params,
             "actor_stats": self.actor_stats,
@@ -422,14 +427,13 @@ class MDDPGTrainer:
             "key": self.key,
             "np_rng": self.rng.bit_generator.state,
         }
-        host = jax.tree.map(lambda a: np.asarray(a), state)
-        with open(path, "wb") as f:
-            pickle.dump(host, f)
+
+    def save(self, path, step: int):
+        save_state(path, self._state_dict(step))
         self.logger.log(f"saved checkpoint -> {path}")
 
     def load(self, path):
-        with open(path, "rb") as f:
-            state = pickle.load(f)
+        state = load_state(path, template=self._state_dict(0))
         to_dev = lambda tree: jax.tree.map(jnp.asarray, tree)
         self.actor_params = to_dev(state["actor_params"])
         self.actor_stats = to_dev(state["actor_stats"])

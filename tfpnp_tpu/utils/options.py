@@ -49,6 +49,10 @@ class Options:
         p.add_argument("--replay", type=str, default="device",
                        choices=["device", "native", "host"],
                        help="replay ring backend (device = HBM-resident)")
+        p.add_argument("--ckpt_backend", type=str, default="pickle",
+                       choices=["pickle", "orbax"],
+                       help="checkpoint format (orbax = sharded dir, "
+                            "multi-host-safe)")
         p.add_argument("--solver", type=str, default="admm")
         p.add_argument("--image_size", type=int, default=128)
         p.add_argument("--mesh_dp", type=int, default=None,

@@ -66,3 +66,45 @@ class TestMatLoader:
         assert data["mask"].dtype == bool
         np.testing.assert_allclose(np.asarray(data["gt"][0]), gt, atol=1e-6)
         np.testing.assert_allclose(np.asarray(data["y0"][0]), y0, atol=1e-5)
+
+
+class TestNpzDataSets:
+    def test_roundtrip_complex_bool_float(self, tmp_path):
+        """save_data_npz/load_data_npz must round-trip a full eval batch;
+        complex leaves travel as __re/__im float pairs and are recombined
+        inside jit (tunneled-TPU eager-complex ban, CLAUDE.md rules 3-4)."""
+        from tfpnp_tpu.data.npz import load_data_npz, save_data_npz
+
+        rng = np.random.RandomState(0)
+        data = {
+            "gt": jnp.asarray(rng.rand(3, 8, 8).astype(np.float32)),
+            "y0": jnp.asarray(rng.rand(3, 8, 8) + 1j * rng.rand(3, 8, 8),
+                              jnp.complex64),
+            "mask": jnp.asarray(rng.rand(3, 8, 8) > 0.5),
+            "sigma_n": jnp.asarray([0.02, 0.04, 0.06], jnp.float32),
+        }
+        p = tmp_path / "set.npz"
+        save_data_npz(p, data)
+        back = load_data_npz(p)
+        assert set(back) == set(data)
+        assert back["y0"].dtype == jnp.complex64
+        assert back["mask"].dtype == bool
+        for k in data:
+            np.testing.assert_allclose(np.asarray(back[k]),
+                                       np.asarray(data[k]), atol=1e-6)
+
+    def test_reference_sigma_array_layout(self, tmp_path):
+        """The reference stores sigma_n broadcast to y0's shape
+        (tasks/csmri/dataset.py:67); the loader must take a scalar."""
+        from scipy.io import savemat
+        from tfpnp_tpu.data.folder import load_csmri_mat
+
+        rng = np.random.RandomState(1)
+        gt = rng.rand(1, 16, 16).astype(np.float32)
+        y0 = np.stack([rng.randn(16, 16), rng.randn(16, 16)], -1)[None]
+        savemat(tmp_path / "c.mat",
+                {"gt": gt, "y0": y0, "mask": np.ones((16, 16), np.uint8),
+                 "sigma_n": np.ones((1, 16, 16, 2), np.float32) * 0.04})
+        data = load_csmri_mat([tmp_path / "c.mat"])
+        np.testing.assert_allclose(np.asarray(data["sigma_n"]), [0.04],
+                                   atol=1e-7)

@@ -46,6 +46,13 @@ def main(argv=None):
     ranges, actor = actor_spec_for(solver_name, opt.action_pack)
     mesh = make_mesh(opt.mesh_dp)
     shard = batch_sharder(mesh)
+    if opt.eval_data:  # external sets REPLACE the synthetic protocol
+        from .data.npz import load_data_npz
+        eval_sets = {}
+        for spec in opt.eval_data:
+            name, _, path = spec.partition("=")
+            eval_sets[name] = load_data_npz(path)
+        logger.log(f"eval sets from --eval_data: {sorted(eval_sets)}")
     eval_sets = {k: shard(v) for k, v in eval_sets.items()}
 
     evaluator = Evaluator(env, actor, ranges, eval_sets,

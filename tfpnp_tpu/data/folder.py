@@ -147,7 +147,9 @@ def load_csmri_mat(paths: Sequence[str | Path]):
                 x0 = x0[..., 0] + 1j * x0[..., 1]
         else:
             x0 = np.fft.ifft2(np.fft.ifftshift(y0), norm="ortho")
-        sigmas.append(float(np.squeeze(m.get("sigma_n", 0.0))))
+        # the reference stores sigma_n broadcast to y0's shape
+        # (ones_like(y0) * sigma, tasks/csmri/dataset.py:67); take one value
+        sigmas.append(float(np.asarray(m.get("sigma_n", 0.0)).flat[0]))
         gts.append(gt); y0s.append(y0); x0s.append(x0); masks.append(mask)
     return {
         "gt": jnp.asarray(np.stack(gts), jnp.float32),

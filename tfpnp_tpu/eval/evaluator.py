@@ -103,6 +103,18 @@ class Evaluator:
         output = env.solver.get_output(final["solver"])
         return psnr0, final["last_psnr"], iters, psnr_seq, actions, output, alive
 
+    def run_set(self, actor_variables, data) -> dict:
+        """Greedy rollout on one eval batch; returns mean metrics.
+
+        Public single-set entry for scripts that sweep constructed eval
+        batches (e.g. scripts/eval_robustness.py) and need per-set
+        numbers rather than ``eval``'s cross-set mean."""
+        psnr0, psnr_f, iters, *_ = jax.device_get(
+            self._episode(actor_variables, data))
+        return {"psnr_init": float(np.asarray(psnr0).mean()),
+                "psnr": float(np.asarray(psnr_f).mean()),
+                "iters": float(np.asarray(iters).mean())}
+
     def eval(self, actor_variables, step: int) -> float:
         total = 0.0
         for name, data in self.eval_sets.items():

@@ -31,19 +31,28 @@ import numpy as np
 OB_BASE_DIM = 4  # y0 | |kf| | T | sigma_n
 
 
+def gaussian_kernel(sigma_x: float, sigma_y: float = None, theta: float = 0.0,
+                    ksize: int = 15) -> np.ndarray:
+    """[ksize, ksize] normalized (an)isotropic rotated Gaussian PSF."""
+    if sigma_y is None:
+        sigma_y = sigma_x
+    half = (ksize - 1) / 2.0
+    yy, xx = np.mgrid[:ksize, :ksize] - half
+    c, s = np.cos(theta), np.sin(theta)
+    xr, yr = c * xx + s * yy, -s * xx + c * yy
+    k = np.exp(-0.5 * ((xr / sigma_x) ** 2 + (yr / sigma_y) ** 2))
+    return (k / k.sum()).astype(np.float32)
+
+
 @functools.lru_cache(maxsize=None)
 def kernel_bank(ksize: int = 15) -> np.ndarray:
     """[M, ksize, ksize] normalized blur kernels: isotropic and rotated
     anisotropic Gaussians plus motion-blur line segments."""
     half = (ksize - 1) / 2.0
-    yy, xx = np.mgrid[:ksize, :ksize] - half
     kernels = []
 
     def gauss(sx, sy, theta):
-        c, s = np.cos(theta), np.sin(theta)
-        xr, yr = c * xx + s * yy, -s * xx + c * yy
-        k = np.exp(-0.5 * ((xr / sx) ** 2 + (yr / sy) ** 2))
-        return k / k.sum()
+        return gaussian_kernel(sx, sy, theta, ksize)
 
     for sig in (1.2, 1.8, 2.4):                      # isotropic
         kernels.append(gauss(sig, sig, 0.0))

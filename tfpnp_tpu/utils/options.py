@@ -60,6 +60,11 @@ class Options:
         p.add_argument("--log_root", type=str, default="logs")
         p.add_argument("--data_root", type=str, default=None,
                        help="folder of training images (default: procedural corpus)")
+        p.add_argument("--eval_data", action="append", default=None,
+                       metavar="NAME=PATH.npz",
+                       help="evaluate on converted reference sets instead of "
+                            "the synthetic protocol (repeatable; see "
+                            "scripts/convert_reference_data.py)")
         p.add_argument("--profile", action="store_true",
                        help="write jax.profiler traces under <output>/trace")
         p.add_argument("--tensorboard", action="store_true",

@@ -79,3 +79,33 @@ class TestEvalSetGrid:
         assert sorted(train_sets) == [f"radial_32_{a}_15" for a in (2, 4, 8)]
         assert sorted(eval_sets) == sorted(
             f"radial_32_{a}_{s}" for a in (2, 4, 8) for s in (10, 15, 5))
+
+
+class TestMixedPrecisionDenoiser:
+    def test_bf16_mixed_within_quality_gate(self):
+        """--precision bf16 runs convs in bf16 with f32 params/residual
+        (models/unet.py dtype); denoising PSNR must stay within 0.1 dB of
+        f32 (bench.py's adoption gate)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from tfpnp_tpu.data.synthetic import random_images
+        from tfpnp_tpu.pnp.denoiser import load_denoiser
+
+        f32 = load_denoiser()
+        bf16 = load_denoiser(compute_dtype=jnp.bfloat16)
+        assert bf16.module.dtype == jnp.bfloat16
+        key = jax.random.PRNGKey(0)
+        gt = random_images(key, 4, 64)
+        noisy = gt + (15 / 255.) * jax.random.normal(
+            jax.random.fold_in(key, 1), gt.shape)
+        sig = jnp.full((4,), 15 / 255.)
+        d32 = jax.jit(lambda a, s: f32(a, s))(noisy, sig)
+        d16 = jax.jit(lambda a, s: bf16(a, s))(noisy, sig)
+        assert d16.dtype == jnp.float32  # output is f32 regardless
+
+        def psnr(a, b):
+            return -10 * jnp.log10(jnp.mean((a - b) ** 2, axis=(1, 2)))
+        delta = float(np.asarray(psnr(d32, gt)).mean()
+                      - np.asarray(psnr(d16, gt)).mean())
+        assert abs(delta) < 0.1, f"bf16 quality gap {delta:.3f} dB"

@@ -14,7 +14,7 @@ The denoiser *call* convention (noise-map concat + clamp) lives in
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -55,11 +55,13 @@ class ConvBlock(nn.Module):
 
     features: int
     num_layer: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layer):
-            x = nn.Conv(self.features, (3, 3), padding="SAME", name=f"conv{i}")(x)
+            x = nn.Conv(self.features, (3, 3), padding="SAME",
+                        dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.leaky_relu(x, 0.2)
         return x
 
@@ -74,17 +76,23 @@ class UNet(nn.Module):
     in_channels: int = 2
     out_channels: int = 1
     widths: Sequence[int] = (32, 64, 128, 256, 512)
+    # computation dtype for the convolutions (flax ``dtype``): bf16 runs
+    # them at the MXU's native double-rate precision while parameters,
+    # upsampling interpolation (f32 lerp weights promote), and the final
+    # residual add stay f32 — the mixed variant whose restoration quality
+    # holds where pure-bf16 is borderline (ROADMAP "bf16 quality gate")
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         inp = x
         w = self.widths
         skips = []
-        x = ConvBlock(w[0], name="inc")(x)
+        x = ConvBlock(w[0], dtype=self.dtype, name="inc")(x)
         for i in range(1, len(w)):
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
-            x = ConvBlock(w[i], name=f"down{i}")(x)
+            x = ConvBlock(w[i], dtype=self.dtype, name=f"down{i}")(x)
         for i in range(len(w) - 2, -1, -1):
             x = upsample2x_align_corners(x)
             skip = skips[i]
@@ -94,7 +102,9 @@ class UNet(nn.Module):
             if dh or dw:
                 x = jnp.pad(x, ((0, 0), (dw // 2, dw - dw // 2),
                                 (dh // 2, dh - dh // 2), (0, 0)))
-            x = jnp.concatenate([skip, x], axis=-1)
-            x = ConvBlock(w[i], name=f"up{i}")(x)
-        residual = nn.Conv(self.out_channels, (1, 1), name="outc")(x)
-        return inp[..., : self.out_channels] + residual
+            x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
+            x = ConvBlock(w[i], dtype=self.dtype, name=f"up{i}")(x)
+        residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                           name="outc")(x)
+        return (inp[..., : self.out_channels].astype(jnp.float32)
+                + residual.astype(jnp.float32))

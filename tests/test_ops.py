@@ -237,3 +237,36 @@ class TestNoise:
         z = jnp.abs(jax.random.normal(KEY, (1, 16, 16))) + 1.0
         y, s = ops.noise.poisson_pr(jax.random.PRNGKey(3), z, alpha=27.0)
         assert y.shape == z.shape and float(s) > 0
+
+
+class TestRadonBackendEquivalence:
+    def test_matmul_matches_gather(self):
+        """The MXU matmul backend materializes exactly the gather path's
+        bilinear taps: forward and adjoint must agree to float tolerance,
+        and both must stay exactly adjoint."""
+        from tfpnp_tpu.ops.radon import Radon, _make_angles
+
+        angles = _make_angles(9)
+        rm = Radon(32, angles, backend="matmul")
+        rg = Radon(32, angles, backend="gather")
+        assert rm.backend == "matmul" and rg.backend == "gather"
+        k1, k2 = jax.random.split(KEY)
+        x = jax.random.normal(k1, (2, 32, 32))
+        np.testing.assert_allclose(np.asarray(rm.forward(x)),
+                                   np.asarray(rg.forward(x)),
+                                   rtol=1e-4, atol=1e-4)
+        y = jax.random.normal(k2, (2, 9, rm.det_count))
+        np.testing.assert_allclose(np.asarray(rm.backprojection(y)),
+                                   np.asarray(rg.backprojection(y)),
+                                   rtol=1e-4, atol=1e-4)
+        # exact adjointness of the matmul pair
+        lhs = float(jnp.sum(rm.forward(x) * y))
+        rhs = float(jnp.sum(x * rm.backprojection(y)))
+        assert abs(lhs - rhs) < 1e-2 * max(abs(lhs), 1.0)
+        # same operator norm (same linear map)
+        assert abs(rm.opnorm - rg.opnorm) < 1e-2 * rg.opnorm
+
+    def test_auto_backend_cap(self):
+        from tfpnp_tpu.ops.radon import Radon, _make_angles
+        r = Radon(32, _make_angles(6))
+        assert r.backend == "matmul"  # tiny geometry under the cap

@@ -4,13 +4,21 @@ The reference delegates CT physics to the external ``torch_radon`` CUDA
 extension (/root/reference/tfpnp/utils/transforms.py:445-510). This module
 is a from-scratch XLA implementation:
 
-- **forward projection**: for each view angle the image is resampled on a
-  rotated (detector x ray-step) grid with bilinear interpolation — a batched
-  gather — and summed along the ray. Views run under ``lax.scan`` (actually
-  a batched gather per view) with static shapes, so the whole operator jits
-  into one fused XLA computation.
-- **backprojection**: the *exact* adjoint, obtained with
-  ``jax.linear_transpose`` of the (linear) forward — adjointness
+- **forward projection** has two backends:
+  * ``matmul`` (default for benchmark-scale geometries): the full operator
+    is materialized once as a dense matrix ``W [H*W, V*D]`` whose columns
+    hold each detector cell's bilinear ray footprint; projection is then a
+    single ``[B, H*W] @ [H*W, V*D]`` MXU matmul (and the adjoint is the
+    exact transpose matmul). W is built *in-graph* from the small sample
+    grid by scatter-add, so it lives in HBM without a host round-trip.
+    ~95% of W is zeros, but MXU FLOPs are free at this size — the op is
+    HBM-bandwidth-bound on reading W, which is still ~100x fewer bytes
+    than the gather path touches in random access.
+  * ``gather``: for each view the image is resampled on a rotated
+    (detector x ray-step) grid with bilinear interpolation — a batched
+    gather — and summed along the ray; used above ``_MATMUL_BYTES_CAP``.
+- **backprojection**: the *exact* adjoint — the transposed matmul, or for
+  the gather backend ``jax.vjp`` of the (linear) forward — adjointness
   <Ax, y> == <x, A^T y> holds to machine precision by construction.
 - **FBP**: ramp filter applied along the detector axis in the Fourier
   domain (rfft/irfft), then backprojection. Mirrors
@@ -89,8 +97,12 @@ class Radon:
     ``normal_operator``, plus the cached ``opnorm``.
     """
 
+    # above this dense-W size the matmul backend stops paying for itself
+    # (W bytes = (res^2) * (views*det) * 4; 128^2 x 30 views ~ 0.36 GB)
+    _MATMUL_BYTES_CAP = 1 << 30
+
     def __init__(self, resolution: int, angles: np.ndarray, det_count: int = -1,
-                 opnorm: float | None = None):
+                 opnorm: float | None = None, backend: str = "auto"):
         if det_count <= 0:
             det_count = int(np.ceil(np.sqrt(2) * resolution))
         self.resolution = int(resolution)
@@ -100,21 +112,78 @@ class Radon:
         self.view = self.n_views  # reference attribute name (transforms.py:474)
         self._grids = jnp.asarray(_view_grids(self.resolution, self.angles, self.det_count))
 
+        if backend == "auto":
+            w_bytes = (resolution ** 2) * (self.n_views * det_count) * 4
+            backend = "matmul" if w_bytes <= self._MATMUL_BYTES_CAP else "gather"
+        self.backend = backend
+        self._W = jax.jit(self._build_w)() if backend == "matmul" else None
+
         # ramp filter response on the padded rfft grid
         pad = 1 << max(6, int(np.ceil(np.log2(2 * self.det_count))))
         self._pad = pad
         freqs = np.fft.rfftfreq(pad)
         self._ramp = jnp.asarray(2.0 * np.abs(freqs), jnp.float32)
 
-        self._forward_jit = jax.jit(self._forward_impl)
-        self._adjoint_jit = jax.jit(self._adjoint_impl)
+        if backend == "matmul":
+            self._forward_jit = jax.jit(self._forward_matmul)
+            self._adjoint_jit = jax.jit(self._adjoint_matmul)
+        else:
+            self._forward_jit = jax.jit(self._forward_impl)
+            self._adjoint_jit = jax.jit(self._adjoint_impl)
 
         if opnorm is None:
             x = jax.random.normal(jax.random.PRNGKey(0), (1, resolution, resolution))
             opnorm = float(power_method_opnorm(self.normal_operator, x, n_iter=10))
         self.opnorm = opnorm
 
-    # -- core linear maps -------------------------------------------------
+    # -- matmul backend ----------------------------------------------------
+
+    def _build_w(self) -> jnp.ndarray:
+        """Materialize the operator matrix W [H*W, V*D] by scatter-adding
+        every (view, detector, ray-step) bilinear tap into its image cell.
+        Runs in-graph (one jitted scatter program) so W is born in HBM."""
+        h = w = self.resolution
+        v, d, t = self.n_views, self.det_count, self.det_count
+        rows = self._grids[..., 0].reshape(-1)          # [V*D*T]
+        cols = self._grids[..., 1].reshape(-1)
+        # output column of each (view, det) pair, broadcast over ray steps
+        out_col = (
+            jnp.arange(v * d, dtype=jnp.int32)[:, None]
+            * jnp.ones((1, t), jnp.int32)
+        ).reshape(-1)
+        r0 = jnp.floor(rows)
+        c0 = jnp.floor(cols)
+        fr = (rows - r0).astype(jnp.float32)
+        fc = (cols - c0).astype(jnp.float32)
+        r0i = r0.astype(jnp.int32)
+        c0i = c0.astype(jnp.int32)
+        mat = jnp.zeros((h * w, v * d), jnp.float32)
+        for dr, dc, wgt in (
+            (0, 0, (1 - fr) * (1 - fc)),
+            (0, 1, (1 - fr) * fc),
+            (1, 0, fr * (1 - fc)),
+            (1, 1, fr * fc),
+        ):
+            ri = r0i + dr
+            ci = c0i + dc
+            valid = (ri >= 0) & (ri < h) & (ci >= 0) & (ci < w)
+            img_idx = jnp.clip(ri, 0, h - 1) * w + jnp.clip(ci, 0, w - 1)
+            mat = mat.at[img_idx, out_col].add(jnp.where(valid, wgt, 0.0))
+        return mat
+
+    def _forward_matmul(self, x: jnp.ndarray) -> jnp.ndarray:
+        b = x.shape[0]
+        sino = jnp.dot(x.reshape(b, -1), self._W,
+                       preferred_element_type=jnp.float32)
+        return sino.reshape(b, self.n_views, self.det_count)
+
+    def _adjoint_matmul(self, y: jnp.ndarray) -> jnp.ndarray:
+        b = y.shape[0]
+        xt = jnp.dot(y.reshape(b, -1), self._W.T,
+                     preferred_element_type=jnp.float32)
+        return xt.reshape(b, self.resolution, self.resolution)
+
+    # -- gather backend core linear maps -----------------------------------
 
     def _forward_impl(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: [B, H, W] -> sinogram [B, V, D]."""

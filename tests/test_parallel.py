@@ -134,3 +134,34 @@ class TestSpatialSharding:
         xs = spatial_sharder(mesh_2x4)({"x": x, "s": sigma})
         out = np.asarray(f(xs["x"], xs["s"]))
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+
+class TestOrbaxShardedCheckpoint:
+    def test_sharded_save_restore_preserves_sharding(self, mesh, tmp_path):
+        """The orbax backend must round-trip dp-sharded arrays AND restore
+        them with the template's sharding (the multi-host story: each host
+        writes/reads its own shards; utils/checkpoint.py)."""
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tfpnp_tpu.utils.checkpoint import load_state, save_state
+
+        sharding = NamedSharding(mesh, P("dp"))
+        big = jax.device_put(
+            jnp.arange(8 * 16, dtype=jnp.float32).reshape(8, 16), sharding)
+        state = {"step": 5,
+                 "params": {"w": big, "b": jnp.ones((3,))},
+                 "np_rng": {"state": 123}}
+        path = tmp_path / "ckpt.orbax"
+        save_state(path, state)
+
+        template = {"step": 0,
+                    "params": {"w": jax.device_put(jnp.zeros((8, 16)), sharding),
+                               "b": jnp.zeros((3,))},
+                    "np_rng": None}
+        back = load_state(path, template=template)
+        assert back["step"] == 5 and back["np_rng"] == {"state": 123}
+        np.testing.assert_array_equal(np.asarray(back["params"]["w"]),
+                                      np.asarray(big))
+        # restored with the dp sharding, not gathered to one device
+        assert back["params"]["w"].sharding.is_equivalent_to(sharding, 2)

@@ -9,9 +9,11 @@ writes final.pkl, so probing only for final.pkl would silently retrain
 from scratch).
 
 Usage:
-  python scripts/train_queue.py JOB [JOB ...] [--bench]
+  python scripts/train_queue.py JOB [JOB ...] [--bench] [--ship]
 where JOB is task:solver[:scale][:steps], e.g.
-  python scripts/train_queue.py deblur:admm sr:admm:2 --bench
+  python scripts/train_queue.py deblur:admm sr:admm:2 --bench --ship
+--ship extracts each finished job's best checkpoint into the shipped
+policy registry (scripts/ship_policy.py naming).
 """
 
 import argparse
@@ -37,7 +39,7 @@ def newest_checkpoint(exp: str):
     return max(cands, key=lambda p: p.stat().st_mtime) if cands else None
 
 
-def run_job(spec: str) -> bool:
+def run_job(spec: str, ship: bool = False) -> bool:
     parts = spec.split(":")
     task, solver = parts[0], parts[1]
     scale = parts[2] if len(parts) > 2 and parts[2] else None
@@ -55,6 +57,13 @@ def run_job(spec: str) -> bool:
               flush=True)
         if subprocess.run(cmd + extra, cwd=ROOT).returncode == 0:
             print(f"=== {exp} OK ===", flush=True)
+            if ship:
+                best = ROOT / "logs" / exp / "ckpt" / "best.pkl"
+                if best.exists():
+                    name = exp.rsplit("_", 1)[0]  # drop the batch suffix
+                    subprocess.run(
+                        [sys.executable, "scripts/ship_policy.py",
+                         str(best), name], cwd=ROOT)
             return True
         print(f"=== {exp} failed; waiting out possible chip wedge ===",
               flush=True)
@@ -68,9 +77,11 @@ def main():
     ap.add_argument("jobs", nargs="+", help="task:solver[:scale][:steps]")
     ap.add_argument("--bench", action="store_true",
                     help="run bench.py after the queue")
+    ap.add_argument("--ship", action="store_true",
+                    help="ship each job's best checkpoint to the registry")
     args = ap.parse_args()
     for spec in args.jobs:
-        run_job(spec)
+        run_job(spec, ship=args.ship)
     if args.bench:
         subprocess.run([sys.executable, "bench.py"], cwd=ROOT)
     print("=== queue complete ===", flush=True)

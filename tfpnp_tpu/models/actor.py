@@ -51,6 +51,12 @@ ACTION_RANGES: Dict[str, Dict[str, Tuple[float, float]]] = {
         "hqs":  {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.01)},
         "pg":   {"sigma_d": (70 / 255, 0.0), "tau": (2.0, 0.0)},
     }.items()},
+    # inpainting (beyond-reference, tasks/inpaint.py). The diagonal prox
+    # (M y + mu v)/(M + mu) needs mu > 0 only to avoid 0/0 at observed
+    # pixels when the policy saturates low — same floor as deblur.
+    "inpaint_admm":  {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.005)},
+    "inpaint_hqs":   {"sigma_d": (70 / 255, 0.0), "mu": (1.0, 0.005)},
+    "inpaint_pg":    {"sigma_d": (70 / 255, 0.0), "tau": (2.0, 0.0)},
     # SPI uses a deeper head and shifted ranges (network.py:263-279)
     "spi_admm":      {"sigma_d": (55 / 255, 15 / 255), "mu": (70.0, 50.0)},
 }

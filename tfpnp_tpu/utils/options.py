@@ -17,7 +17,8 @@ class Options:
         p = argparse.ArgumentParser(
             description="tfpnp_tpu: tuning-free plug-and-play proximal algorithm (TPU)")
         p.add_argument("--task", default="csmri",
-                       choices=["csmri", "pr", "ct", "spi", "deblur", "sr"],
+                       choices=["csmri", "pr", "ct", "spi", "deblur", "sr",
+                                "inpaint"],
                        help="inverse problem")
         p.add_argument("--scale", default=2, type=int, choices=[2, 3, 4],
                        help="super-resolution factor (sr task only)")

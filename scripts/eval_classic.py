@@ -132,6 +132,16 @@ def main():
     run("sr_admm x2  s2.55", get_solver("sr_admm", den), data,
         {"sigma_d": B(sigmas), "mu": B(rhos)})
 
+    # Inpainting ADMM, keep rate 0.3, sigma_n 2.55 (beyond-reference task)
+    from tfpnp_tpu.tasks import inpaint
+    rhos, sigmas = ops.get_rho_sigma(sigma=2.55 / 255, iter_num=it,
+                                     model_sigma1=35.0, model_sigma2=5.0)
+    data = jax.jit(lambda k1, k2: inpaint.make_data(
+        k2, random_images(k1, b, n), rates=(0.3,), sigma_list=(2.55,)))(
+            jax.random.PRNGKey(22), jax.random.PRNGKey(23))
+    run("inpaint_admm r0.3 s2.55", get_solver("inpaint_admm", den), data,
+        {"sigma_d": B(sigmas), "mu": B(rhos)})
+
     print(json.dumps({"classic_eval": rows, "size": n, "iters": it,
                       "denoiser": args.denoiser}))
 

@@ -116,3 +116,15 @@ class TestGoldenClassic:
                         {"sigma_d": _bc(sigmas), "mu": _bc(rhos)})
         assert p0 == pytest.approx(21.54, abs=TOL)
         assert p1 == pytest.approx(23.55, abs=TOL)
+
+    def test_inpaint_admm(self):
+        from tfpnp_tpu.tasks import inpaint
+        rhos, sigmas = ops.get_rho_sigma(sigma=2.55 / 255, iter_num=IT,
+                                         model_sigma1=35.0, model_sigma2=5.0)
+        data = jax.jit(lambda k1, k2: inpaint.make_data(
+            k2, random_images(k1, B, N), rates=(0.3,), sigma_list=(2.55,)))(
+                jax.random.PRNGKey(22), jax.random.PRNGKey(23))
+        p0, p1 = _gains(get_solver("inpaint_admm", TVDenoiser()), data,
+                        {"sigma_d": _bc(sigmas), "mu": _bc(rhos)})
+        assert p0 == pytest.approx(16.62, abs=TOL)
+        assert p1 == pytest.approx(34.37, abs=TOL)

@@ -39,7 +39,37 @@ def newest_checkpoint(exp: str):
     return max(cands, key=lambda p: p.stat().st_mtime) if cands else None
 
 
-def run_job(spec: str, ship: bool = False) -> bool:
+def run_watched(cmd, log_file, stall_timeout: float) -> int:
+    """Failure detection: run ``cmd``, watching the job's own log for
+    progress. The tunneled chip can stall a transfer for ~20 min and
+    recover (CLAUDE.md), so only a log silent for ``stall_timeout``
+    seconds counts as hung — then the exact child PID is terminated
+    (never pattern-kills) and the caller resumes from its newest
+    checkpoint. SIGTERM first so the trainer writes interrupted.pkl."""
+    proc = subprocess.Popen(cmd, cwd=ROOT)
+    while True:
+        try:
+            return proc.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            pass
+        try:
+            age = time.time() - log_file.stat().st_mtime
+        except OSError:
+            age = 0.0
+        if age > stall_timeout:
+            print(f"=== watchdog: log silent {age / 60:.0f} min; "
+                  f"terminating pid {proc.pid} ===", flush=True)
+            proc.terminate()
+            try:
+                proc.wait(timeout=120)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+            return 124
+
+
+def run_job(spec: str, ship: bool = False,
+            stall_timeout: float = 2400.0) -> bool:
     parts = spec.split(":")
     task, solver = parts[0], parts[1]
     scale = parts[2] if len(parts) > 2 and parts[2] else None
@@ -49,13 +79,14 @@ def run_job(spec: str, ship: bool = False) -> bool:
            "--solver", solver, "--exp", exp, "--train_steps", steps] + COMMON
     if task == "sr" and scale:
         cmd += ["--scale", scale]
+    log_file = ROOT / "logs" / exp / "log.txt"
     for attempt in (1, 2, 3):
         resume = newest_checkpoint(exp) if attempt > 1 else None
         extra = ["-r", str(resume)] if resume else []
         print(f"=== {exp} attempt {attempt}"
               + (f" (resume {resume.name})" if resume else "") + " ===",
               flush=True)
-        if subprocess.run(cmd + extra, cwd=ROOT).returncode == 0:
+        if run_watched(cmd + extra, log_file, stall_timeout) == 0:
             print(f"=== {exp} OK ===", flush=True)
             if ship:
                 best = ROOT / "logs" / exp / "ckpt" / "best.pkl"
@@ -79,9 +110,12 @@ def main():
                     help="run bench.py after the queue")
     ap.add_argument("--ship", action="store_true",
                     help="ship each job's best checkpoint to the registry")
+    ap.add_argument("--stall_timeout", type=float, default=2400.0,
+                    help="seconds of log silence before a run counts as "
+                         "hung (tunnel stalls of ~20 min self-recover)")
     args = ap.parse_args()
     for spec in args.jobs:
-        run_job(spec, ship=args.ship)
+        run_job(spec, ship=args.ship, stall_timeout=args.stall_timeout)
     if args.bench:
         subprocess.run([sys.executable, "bench.py"], cwd=ROOT)
     print("=== queue complete ===", flush=True)

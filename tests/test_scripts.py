@@ -43,3 +43,28 @@ class TestNewestCheckpoint:
         q = _load_queue()
         monkeypatch.setattr(q, "ROOT", tmp_path)
         assert q.newest_checkpoint("nope") is None
+
+
+class TestWatchdog:
+    def test_completing_command_passes_through(self, tmp_path):
+        q = _load_queue()
+        rc = q.run_watched(["true"], tmp_path / "log.txt", stall_timeout=5.0)
+        assert rc == 0
+
+    def test_silent_hang_is_terminated(self, tmp_path, monkeypatch):
+        """A child whose log never advances must be SIGTERMed by its exact
+        PID once the stall window passes (never pattern-killed)."""
+        q = _load_queue()
+        log = tmp_path / "log.txt"
+        log.write_text("boot")
+        # make the 60 s poll cadence test-fast
+        orig_wait = q.subprocess.Popen.wait
+
+        def fast_wait(self, timeout=None):
+            return orig_wait(self, timeout=0.2 if timeout == 60 else timeout)
+        monkeypatch.setattr(q.subprocess.Popen, "wait", fast_wait)
+        t0 = time.time()
+        os.utime(log, (t0 - 3600, t0 - 3600))  # log stale for an hour
+        rc = q.run_watched(["sleep", "60"], log, stall_timeout=1.0)
+        assert rc == 124
+        assert time.time() - t0 < 30

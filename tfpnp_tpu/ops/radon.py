@@ -183,6 +183,18 @@ class Radon:
                      preferred_element_type=jnp.float32)
         return xt.reshape(b, self.resolution, self.resolution)
 
+    # -- backend dispatch (trace-level: call these inside jit) --------------
+
+    def forward_op(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Backend-dispatched forward projection, [B, H, W] -> [B, V, D]."""
+        return (self._forward_matmul(x) if self.backend == "matmul"
+                else self._forward_impl(x))
+
+    def adjoint_op(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Backend-dispatched exact adjoint, [B, V, D] -> [B, H, W]."""
+        return (self._adjoint_matmul(y) if self.backend == "matmul"
+                else self._adjoint_impl(y))
+
     # -- gather backend core linear maps -----------------------------------
 
     def _forward_impl(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -48,7 +48,7 @@ def make_iadmm(denoiser, radon: Radon = None) -> Solver:
         tau = hyper["tau"].reshape(-1, 1, 1)
         mu = hyper["mu"].reshape(-1, 1, 1)
         x = denoiser(z - u, hyper["sigma_d"])
-        grad = radon.backprojection_norm(radon._forward_impl(z) - y0)
+        grad = radon.backprojection_norm(radon.forward_op(z) - y0)
         z = z - tau * (grad + mu * (z - (x + u)))
         # projected iADMM: the image domain is [0,1]; a box with margin
         # keeps the iteration bounded when the policy samples a divergent
@@ -74,7 +74,7 @@ def make_pg(denoiser, radon: Radon = None) -> Solver:
         x = state["x"]
         y0 = aux["y0"]
         tau = hyper["tau"].reshape(-1, 1, 1)
-        z = x - tau * radon.backprojection_norm(radon._forward_impl(x) - y0)
+        z = x - tau * radon.backprojection_norm(radon.forward_op(x) - y0)
         x = denoiser(z, hyper["sigma_d"])
         return {"x": x}
 

@@ -91,7 +91,11 @@ def run_job(spec: str, ship: bool = False,
             if ship:
                 best = ROOT / "logs" / exp / "ckpt" / "best.pkl"
                 if best.exists():
-                    name = exp.rsplit("_", 1)[0]  # drop the batch suffix
+                    # registry convention (tasks/sr.py solver_name_for):
+                    # x2 is the plain sr family, x3/x4 are suffixed
+                    fam = task if not (task == "sr" and scale
+                                       and scale != "2") else f"sr{scale}"
+                    name = f"{fam}_{solver}_5x6"
                     subprocess.run(
                         [sys.executable, "scripts/ship_policy.py",
                          str(best), name], cwd=ROOT)

@@ -60,11 +60,12 @@ def main():
     radons = {}
     for be in ("matmul", "gather"):
         r = radons[be] = Radon(n, _make_angles(v), backend=be)
-        fwd = jax.jit(r._forward_jit)
-        sino = fwd(x)
-        rows[f"radon_fwd_{be}_ms"] = round(timeit(fwd, x) * 1e3, 2)
-        adj = jax.jit(r._adjoint_jit)
-        rows[f"radon_adj_{be}_ms"] = round(timeit(adj, sino) * 1e3, 2)
+        # _forward_jit/_adjoint_jit are already jitted eager wrappers that
+        # pass W as a runtime argument — do NOT re-jit them (that would
+        # capture W as a program constant; ops/radon.py _W note)
+        sino = r._forward_jit(x)
+        rows[f"radon_fwd_{be}_ms"] = round(timeit(r._forward_jit, x) * 1e3, 2)
+        rows[f"radon_adj_{be}_ms"] = round(timeit(r._adjoint_jit, sino) * 1e3, 2)
 
     # full ct_iadmm bundle with the default (auto -> matmul) operator
     from tfpnp_tpu.tasks import ct

@@ -116,6 +116,11 @@ class Radon:
             w_bytes = (resolution ** 2) * (self.n_views * det_count) * 4
             backend = "matmul" if w_bytes <= self._MATMUL_BYTES_CAP else "gather"
         self.backend = backend
+        # concrete W for the *eager* API only — always passed as a runtime
+        # argument, never closed over: a closure-captured device constant
+        # is serialized into the compiled program, and a 0.36 GB literal
+        # overflows the tunneled backend's remote-compile request
+        # (HTTP 413). Trace-level callers use ``w_traced`` instead.
         self._W = jax.jit(self._build_w)() if backend == "matmul" else None
 
         # ramp filter response on the padded rfft grid
@@ -125,8 +130,11 @@ class Radon:
         self._ramp = jnp.asarray(2.0 * np.abs(freqs), jnp.float32)
 
         if backend == "matmul":
-            self._forward_jit = jax.jit(self._forward_matmul)
-            self._adjoint_jit = jax.jit(self._adjoint_matmul)
+            # W as a runtime ARGUMENT of the eager wrappers (see _W note)
+            fwd = jax.jit(self._forward_matmul)
+            adj = jax.jit(self._adjoint_matmul)
+            self._forward_jit = lambda x: fwd(x, self._W)
+            self._adjoint_jit = lambda y: adj(y, self._W)
         else:
             self._forward_jit = jax.jit(self._forward_impl)
             self._adjoint_jit = jax.jit(self._adjoint_impl)
@@ -171,29 +179,42 @@ class Radon:
             mat = mat.at[img_idx, out_col].add(jnp.where(valid, wgt, 0.0))
         return mat
 
-    def _forward_matmul(self, x: jnp.ndarray) -> jnp.ndarray:
+    def w_traced(self) -> jnp.ndarray:
+        """In-graph W for trace-level callers: built from the small grid
+        constant (a few MB), executed once per program run. Compute it
+        where it is loop-invariant (e.g. in a solver's ``filter_aux``,
+        which ``run_bundle`` keeps outside the iteration scan) and pass
+        it to ``forward_op``/``adjoint_op``."""
+        return self._build_w()
+
+    def _forward_matmul(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         b = x.shape[0]
-        sino = jnp.dot(x.reshape(b, -1), self._W,
+        sino = jnp.dot(x.reshape(b, -1), w,
                        preferred_element_type=jnp.float32)
         return sino.reshape(b, self.n_views, self.det_count)
 
-    def _adjoint_matmul(self, y: jnp.ndarray) -> jnp.ndarray:
+    def _adjoint_matmul(self, y: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         b = y.shape[0]
-        xt = jnp.dot(y.reshape(b, -1), self._W.T,
+        xt = jnp.dot(y.reshape(b, -1), w.T,
                      preferred_element_type=jnp.float32)
         return xt.reshape(b, self.resolution, self.resolution)
 
     # -- backend dispatch (trace-level: call these inside jit) --------------
 
-    def forward_op(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Backend-dispatched forward projection, [B, H, W] -> [B, V, D]."""
-        return (self._forward_matmul(x) if self.backend == "matmul"
-                else self._forward_impl(x))
+    def forward_op(self, x: jnp.ndarray, w: jnp.ndarray | None = None) -> jnp.ndarray:
+        """Backend-dispatched forward projection, [B, H, W] -> [B, V, D].
 
-    def adjoint_op(self, y: jnp.ndarray) -> jnp.ndarray:
+        Under the matmul backend pass ``w`` (from :meth:`w_traced`) when a
+        loop-invariant spot is available; omitting it builds W inline."""
+        if self.backend == "matmul":
+            return self._forward_matmul(x, self._build_w() if w is None else w)
+        return self._forward_impl(x)
+
+    def adjoint_op(self, y: jnp.ndarray, w: jnp.ndarray | None = None) -> jnp.ndarray:
         """Backend-dispatched exact adjoint, [B, V, D] -> [B, H, W]."""
-        return (self._adjoint_matmul(y) if self.backend == "matmul"
-                else self._adjoint_impl(y))
+        if self.backend == "matmul":
+            return self._adjoint_matmul(y, self._build_w() if w is None else w)
+        return self._adjoint_impl(y)
 
     # -- gather backend core linear maps -----------------------------------
 

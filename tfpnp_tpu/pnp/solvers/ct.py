@@ -24,8 +24,27 @@ from .base import Solver, register_solver
 __all__ = []
 
 
-def _aux(data):
-    return {"y0": data["y0"]}
+def _make_aux(radon: Radon):
+    """Aux builder: the sinogram plus, under the matmul backend, the
+    in-graph operator matrix W. ``filter_aux`` runs outside the
+    ``run_bundle`` iteration scan, so W is materialized once per program
+    execution — never serialized into the compiled program (which the
+    tunneled remote-compile path caps; see ops/radon.py ``_W``)."""
+
+    def _aux(data):
+        aux = {"y0": data["y0"]}
+        if radon.backend == "matmul":
+            aux["radon_w"] = radon.w_traced()
+        return aux
+
+    return _aux
+
+
+def _normal_grad(radon: Radon, aux, z: jnp.ndarray) -> jnp.ndarray:
+    """A^T (A z - y0) / opnorm^2, backend-dispatched through aux's W."""
+    w = aux.get("radon_w")
+    resid = radon.forward_op(z, w) - aux["y0"]
+    return radon.adjoint_op(resid, w) / (radon.opnorm ** 2)
 
 
 def _out_x(state):
@@ -44,11 +63,10 @@ def make_iadmm(denoiser, radon: Radon = None) -> Solver:
 
     def iterate(state, aux, hyper):
         x, z, u = state["x"], state["z"], state["u"]
-        y0 = aux["y0"]
         tau = hyper["tau"].reshape(-1, 1, 1)
         mu = hyper["mu"].reshape(-1, 1, 1)
         x = denoiser(z - u, hyper["sigma_d"])
-        grad = radon.backprojection_norm(radon.forward_op(z) - y0)
+        grad = _normal_grad(radon, aux, z)
         z = z - tau * (grad + mu * (z - (x + u)))
         # projected iADMM: the image domain is [0,1]; a box with margin
         # keeps the iteration bounded when the policy samples a divergent
@@ -59,7 +77,7 @@ def make_iadmm(denoiser, radon: Radon = None) -> Solver:
         return {"x": x, "z": z, "u": u}
 
     return Solver("ct_iadmm", ("x", "z", "u"), ("sigma_d", "mu", "tau"),
-                  init, iterate, _out_x, _aux)
+                  init, iterate, _out_x, _make_aux(radon))
 
 
 @register_solver("ct_pg")
@@ -72,11 +90,10 @@ def make_pg(denoiser, radon: Radon = None) -> Solver:
 
     def iterate(state, aux, hyper):
         x = state["x"]
-        y0 = aux["y0"]
         tau = hyper["tau"].reshape(-1, 1, 1)
-        z = x - tau * radon.backprojection_norm(radon.forward_op(x) - y0)
+        z = x - tau * _normal_grad(radon, aux, x)
         x = denoiser(z, hyper["sigma_d"])
         return {"x": x}
 
     return Solver("ct_pg", ("x",), ("sigma_d", "tau"),
-                  init, iterate, _out_x, _aux)
+                  init, iterate, _out_x, _make_aux(radon))

@@ -33,16 +33,19 @@ def make_data(key: jax.Array, gt: jnp.ndarray, radon: Radon,
               sigma_ns: Sequence[float] = (0.05, 0.075, 0.10)):
     b = gt.shape[0]
     k1, k2 = jax.random.split(key)
-    y = radon.forward_op(gt)
+    # one in-graph W shared by the three projections (matmul backend);
+    # never closed over as a constant (ops/radon.py _W note)
+    w = radon.w_traced() if radon.backend == "matmul" else None
+    y = radon.forward_op(gt, w)
     sidx = jax.random.randint(k1, (b,), 0, len(sigma_ns))
     sigma_n = jnp.asarray(sigma_ns, jnp.float32)[sidx]
     # GaussianModelP: noise std = sigma_n * mean |signal| per sample
     # (utils/noise.py:46-51)
     y_mean = jnp.mean(jnp.abs(y.reshape(b, -1)), axis=-1)
     y0 = y + jax.random.normal(k2, y.shape) * (sigma_n * y_mean).reshape(b, 1, 1)
-    at_y0 = radon.adjoint_op(y0) / (radon.opnorm ** 2)
+    at_y0 = radon.adjoint_op(y0, w) / (radon.opnorm ** 2)
     filtered = radon.filter_sinogram(y0)
-    x0 = radon.adjoint_op(filtered) * (jnp.pi / (2.0 * radon.n_views))
+    x0 = radon.adjoint_op(filtered, w) * (jnp.pi / (2.0 * radon.n_views))
     view = jnp.full((b,), radon.n_views / 120.0, jnp.float32)
     return {"gt": gt, "y0": y0, "ATy0": at_y0, "x0": x0,
             "view": view, "sigma_n": sigma_n}

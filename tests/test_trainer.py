@@ -76,6 +76,68 @@ class TestTrainerEndToEnd:
             np.testing.assert_allclose(a, b)
 
 
+class TestFusedUpdates:
+    def test_update_many_matches_sequential(self, tmp_path):
+        """The fused scan (_update_many, used on a single real chip) must
+        reproduce the sequential per-minibatch path bit-for-bit given the
+        same sample indices and keys."""
+        cfg = TrainConfig(train_steps=4, env_batch=4, max_episode_step=2,
+                          action_pack=2, rmsize=8, warmup=0,
+                          episode_train_times=1, validate_interval=1000,
+                          save_freq=10_000, seed=0, replay_backend="device")
+        solver = get_solver("csmri_admm", TVDenoiser(n_iter=5))
+        env = PnPEnv(solver, csmri.pack_obs, max_episode_step=cfg.max_episode_step)
+        masks = jnp.asarray(np.stack([csmri.radial_mask(N, 4)]))
+
+        def sample_data(key):
+            k1, k2 = jax.random.split(key)
+            return csmri.make_data(k2, random_images(k1, cfg.env_batch, N), masks)
+
+        ranges, actor = actor_spec_for("csmri_admm", cfg.action_pack)
+        trainer = MDDPGTrainer(cfg, env, actor, ranges, sample_data,
+                               lr_schedule=lambda s: {"actor": 1e-3, "critic": 3e-4},
+                               log_dir=str(tmp_path))
+        trainer.train()  # fills the device ring
+        storage = trainer.buffer._storage
+        assert storage is not None
+
+        k_times = 3
+        rng = np.random.default_rng(7)
+        idx = np.stack([rng.choice(trainer.buffer.size, size=cfg.env_batch)
+                        for _ in range(k_times)])
+        keys = jax.random.split(jax.random.PRNGKey(42), k_times)
+
+        snap = jax.tree.map(jnp.copy, (
+            trainer.actor_params, trainer.actor_stats, trainer.critic_params,
+            trainer.target_params, trainer.actor_opt, trainer.critic_opt))
+
+        # sequential reference
+        seq = jax.tree.map(jnp.copy, snap)
+        for i in range(k_times):
+            batch = trainer.buffer._gather_jit(storage,
+                                               jnp.asarray(idx[i], jnp.int32))
+            seq = trainer._update(*seq, batch, keys[i], 1e-3, 3e-4)[:-1]
+
+        fused = trainer._update_many(
+            *jax.tree.map(jnp.copy, snap), storage,
+            jnp.asarray(idx, jnp.int32), keys, 1e-3, 3e-4)
+        # XLA fuses/reassociates float ops differently inside the scanned
+        # program, and Adam's rsqrt amplifies that noise over chained
+        # updates (observed: 1 element in 6e5 off by ~1e-3). A real bug
+        # (wrong indices/keys/order) shifts most elements by >1e-2.
+        n_close = n_total = 0
+        for a, b in zip(jax.tree.leaves(seq), jax.tree.leaves(fused[:-1])):
+            a, b = np.asarray(a), np.asarray(b)
+            np.testing.assert_allclose(a, b, rtol=0.2, atol=5e-3)
+            close = np.isclose(a, b, rtol=1e-4, atol=1e-5)
+            n_close += close.sum()
+            n_total += close.size
+        assert n_close / n_total > 0.999, \
+            f"{1 - n_close / n_total:.2%} of elements drifted"
+        metrics = fused[-1]
+        assert float(metrics["skipped"]) == 0.0
+
+
 class TestOrbaxCheckpoint:
     def test_orbax_roundtrip_and_evalside_load(self, tmp_path):
         """The orbax backend (utils/checkpoint.py) must round-trip the full

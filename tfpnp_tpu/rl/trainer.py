@@ -164,6 +164,17 @@ class MDDPGTrainer:
         # second copy of every tensor 10x per episode
         self._update = jax.jit(self._update_impl,
                                donate_argnums=(0, 1, 2, 3, 4, 5))
+        # fused update phase: all episode_train_times minibatches in ONE
+        # program (lax.scan), gathering each minibatch from the HBM ring
+        # in-graph — removes ~2x(episode_train_times - 1) host->device
+        # dispatch round trips, which dominate the update phase on the
+        # tunneled single-chip link. Only used on a single device: on a
+        # mesh the per-minibatch explicit dp-sharding path stays.
+        self._update_many = jax.jit(self._update_many_impl,
+                                    donate_argnums=(0, 1, 2, 3, 4, 5))
+        from .replay import DeviceReplayBuffer
+        self._fused_updates = (isinstance(self.buffer, DeviceReplayBuffer)
+                               and jax.device_count() == 1)
 
         t_steps = cfg.max_episode_step
 
@@ -215,6 +226,27 @@ class MDDPGTrainer:
     # ------------------------------------------------------------------ #
     # update                                                              #
     # ------------------------------------------------------------------ #
+
+    def _update_many_impl(self, actor_params, actor_stats, critic_params,
+                          target_params, actor_opt, critic_opt,
+                          storage, idx_mat, keys, lr_a, lr_c):
+        """episode_train_times updates as one scanned program. ``storage``
+        is the device replay ring's pytree; ``idx_mat`` is [K, batch]
+        host-chosen uniform indices (same sampling semantics as the
+        per-call path); metrics are averaged (``skipped`` summed)."""
+
+        def body(carry, inp):
+            idx, k = inp
+            batch = jax.tree.map(lambda buf: buf[idx], storage)
+            out = self._update_impl(*carry, batch, k, lr_a, lr_c)
+            return out[:-1], out[-1]
+
+        carry0 = (actor_params, actor_stats, critic_params,
+                  target_params, actor_opt, critic_opt)
+        carry, metrics = jax.lax.scan(body, carry0, (idx_mat, keys))
+        reduced = {k: (jnp.sum(v) if k == "skipped" else jnp.mean(v))
+                   for k, v in metrics.items()}
+        return carry + (reduced,)
 
     def _update_impl(self, actor_params, actor_stats, critic_params,
                      target_params, actor_opt, critic_opt, batch, key, lr_a, lr_c):
@@ -361,16 +393,33 @@ class MDDPGTrainer:
             result = {"Q": 0.0, "dist_entropy": 0.0, "critic_loss": 0.0}
             if episode > cfg.warmup:
                 lr = self.lr_schedule(step)
-                for _ in range(cfg.episode_train_times):
-                    batch = self.buffer.sample(cfg.env_batch, self.rng)
-                    batch = self.shard(jax.tree.map(jnp.asarray, batch))
+                if self._fused_updates:
+                    k_times = cfg.episode_train_times
+                    replace = self.buffer.size < cfg.env_batch
+                    idx = np.stack([
+                        self.rng.choice(self.buffer.size, size=cfg.env_batch,
+                                        replace=replace)
+                        for _ in range(k_times)])
                     self.key, k_up = jax.random.split(self.key)
+                    keys = jax.random.split(k_up, k_times)
                     (self.actor_params, self.actor_stats, self.critic_params,
                      self.target_params, self.actor_opt, self.critic_opt,
-                     metrics) = self._update(
+                     metrics) = self._update_many(
                         self.actor_params, self.actor_stats, self.critic_params,
                         self.target_params, self.actor_opt, self.critic_opt,
-                        batch, k_up, lr["actor"], lr["critic"])
+                        self.buffer._storage, jnp.asarray(idx, jnp.int32),
+                        keys, lr["actor"], lr["critic"])
+                else:
+                    for _ in range(cfg.episode_train_times):
+                        batch = self.buffer.sample(cfg.env_batch, self.rng)
+                        batch = self.shard(jax.tree.map(jnp.asarray, batch))
+                        self.key, k_up = jax.random.split(self.key)
+                        (self.actor_params, self.actor_stats, self.critic_params,
+                         self.target_params, self.actor_opt, self.critic_opt,
+                         metrics) = self._update(
+                            self.actor_params, self.actor_stats, self.critic_params,
+                            self.target_params, self.actor_opt, self.critic_opt,
+                            batch, k_up, lr["actor"], lr["critic"])
                 result = {k: float(v) for k, v in metrics.items()}
 
                 if self.evaluator is not None and episode % cfg.validate_interval == 0:

@@ -19,13 +19,30 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def timeit(fn, *args, n=20):
-    out = fn(*args)
+    """Chained timing: iteration i+1 consumes iteration i's output (the
+    first arg must be shape/dtype-compatible with the output). Repeating
+    the IDENTICAL call instead lets the tunneled remote executor elide
+    duplicates — observed as impossible 0.02 ms 'UNet forwards'."""
     import jax
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
+    import numpy as np
+
+    def fence(o):
+        # block_until_ready on the tunneled runtime resolves before remote
+        # execution completes for small programs; a scalar d2h readback is
+        # the only reliable completion barrier (costs one ~ms round trip,
+        # amortized over n)
+        leaf = jax.tree.leaves(o)[0]
+        s = jax.jit(lambda a: jnp.abs(a).sum().astype(jnp.float32))(leaf)
+        np.asarray(jax.device_get(s))
+
+    x, rest = args[0], args[1:]
+    out = fn(x, *rest)
+    fence(out)
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        out = fn(out, *rest)
+    fence(out)
     return (time.perf_counter() - t0) / n
 
 
@@ -91,8 +108,10 @@ def main():
              "mu": np.full((b, args.iters), 0.1, np.float32)}
     for name, den in [("bundle_f32", den_f32), ("bundle_bf16", den_bf16)]:
         solver = get_solver("csmri_admm", den)
-        f = jax.jit(lambda d, s=solver: s.get_output(
-            run_bundle(s, s.init(d), s.filter_aux(d), hyper)))
+        # chain through the compute-unused gt field so successive calls
+        # have distinct inputs (see timeit docstring)
+        f = jax.jit(lambda d, s=solver: {**d, "gt": s.get_output(
+            run_bundle(s, s.init(d), s.filter_aux(d), hyper))})
         dt = timeit(f, data, n=5)
         its = b * args.iters / dt
         print(f"{name}: {dt * 1e3:8.2f} ms / {args.iters} iters "

@@ -14,13 +14,31 @@ The denoiser *call* convention (noise-map concat + clamp) lives in
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["UNet", "upsample2x_align_corners"]
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(size: int) -> np.ndarray:
+    """[size, 2*size] 1-D align_corners=True 2x interpolation matrix:
+    out[j] = sum_i M[i, j] * in[i], with the exact lo/hi/frac taps of the
+    gather formulation (so converted torch weights stay bit-equivalent)."""
+    out = 2 * size
+    pos = np.arange(out, dtype=np.float64) * (size - 1) / (out - 1)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, size - 1)
+    frac = (pos - lo).astype(np.float32)
+    m = np.zeros((size, out), np.float32)
+    m[lo, np.arange(out)] += 1.0 - frac
+    m[hi, np.arange(out)] += frac
+    return m
 
 
 def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
@@ -28,24 +46,20 @@ def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
 
     ``jax.image.resize`` uses half-pixel centers (align_corners=False);
     torch ``nn.Upsample(scale_factor=2, align_corners=True)`` maps output
-    index i to input position i * (in - 1) / (out - 1). Implemented as two
-    1-D linear interpolations via gathers so converted torch weights
-    reproduce the reference exactly. x: [B, H, W, C].
+    index i to input position i * (in - 1) / (out - 1).
+
+    The 1-D interpolation along each axis is a fixed 2-banded linear map,
+    so it runs as two small MXU matmuls (einsum against [n, 2n] matrices)
+    instead of gathers — gathers scalarize on the VPU and dominated the
+    UNet forward (level-ablation probe, RESULTS.md). x: [B, H, W, C].
     """
     b, h, w, c = x.shape
-
-    def interp_axis(v, size, axis):
-        out = 2 * size
-        pos = jnp.arange(out, dtype=jnp.float32) * (size - 1) / (out - 1)
-        lo = jnp.floor(pos).astype(jnp.int32)
-        hi = jnp.minimum(lo + 1, size - 1)
-        frac = (pos - lo).reshape((-1,) + (1,) * (v.ndim - axis - 1))
-        vlo = jnp.take(v, lo, axis=axis)
-        vhi = jnp.take(v, hi, axis=axis)
-        return vlo * (1 - frac) + vhi * frac
-
-    x = interp_axis(x, h, axis=1)
-    x = interp_axis(x, w, axis=2)
+    mh = jnp.asarray(_interp_matrix(h))
+    mw = jnp.asarray(_interp_matrix(w))
+    x = jnp.einsum("bhwc,hH->bHwc", x, mh.astype(x.dtype),
+                   preferred_element_type=x.dtype)
+    x = jnp.einsum("bhwc,wW->bhWc", x, mw.astype(x.dtype),
+                   preferred_element_type=x.dtype)
     return x
 
 

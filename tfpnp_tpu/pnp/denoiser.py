@@ -49,7 +49,8 @@ class UNetDenoiser:
     compute_dtype: Any = jnp.float32
 
     def __post_init__(self):
-        if self.module.dtype != self.compute_dtype:
+        # custom user modules may not expose a computation-dtype knob
+        if getattr(self.module, "dtype", self.compute_dtype) != self.compute_dtype:
             object.__setattr__(self, "module",
                                self.module.clone(dtype=self.compute_dtype))
 

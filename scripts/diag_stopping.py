@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Diagnose learned early stopping (VERDICT r1 weak #1).
+
+For a shipped policy, runs the full max_episode_step episode with
+stopping DISABLED and records, per eval set:
+  - per-step batch-mean PSNR (the marginal value of each extra bundle)
+  - the policy's stop probability at each step
+  - per-image step index after which the remaining gain is < threshold
+    (the oracle stopping point)
+
+This separates two hypotheses for "iters 6.0" in RESULTS.md:
+  (a) continuing genuinely pays on this data (marginal gain > loop_penalty
+      at every step) -> always-6 is the RL-optimal policy;
+  (b) gains plateau early but the stop head never learned -> training bug.
+
+CPU by default (chip stays free). Usage:
+  python scripts/diag_stopping.py [--policy csmri_admm] [--size 128]
+"""
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--policy", default="csmri_admm")
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--threshold", type=float, default=0.05,
+                    help="remaining-gain threshold (= loop_penalty)")
+    args = ap.parse_args()
+
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tfpnp_tpu import pretrained
+    from tfpnp_tpu.models.actor import actor_spec_for, policy_apply
+    from tfpnp_tpu.pnp.denoiser import load_denoiser
+    from tfpnp_tpu.utils.options import Options
+
+    task_name, solver = args.policy.split("_", 1)
+    opt = Options().parse(
+        ["--task", task_name, "--solver", solver, "--exp", "diag_stop",
+         "--log_root", "logs/diag", "--image_size", str(args.size),
+         "--mesh_dp", "1"])
+    task = importlib.import_module(f"tfpnp_tpu.tasks.{task_name}")
+    denoiser = load_denoiser()
+    env, _, eval_sets, solver_name, _ = task.build(opt, denoiser)
+    ranges, actor = actor_spec_for(solver_name, opt.action_pack)
+    variables = jax.tree.map(jnp.asarray, pretrained.load_policy(solver_name))
+
+    n_steps = env.max_episode_step
+
+    @jax.jit
+    def forced_episode(variables, data):
+        state = env.reset(data)
+        psnr0 = state["last_psnr"]
+
+        def step_fn(state, _):
+            obs = env.observe(state)
+            action, _, entropy, _ = policy_apply(
+                actor, variables, obs, ranges, stochastic=False,
+                use_running_average=True)
+            p_stop = actor.apply(variables, obs, use_running_average=True)[0][:, 1]
+            action = dict(action)
+            action["idx_stop"] = jnp.zeros_like(action["idx_stop"])  # force run
+            state, reward, _, _ = env.step(state, action, jax.random.PRNGKey(0))
+            return state, (state["last_psnr"], p_stop)
+
+        state, (psnr_seq, p_stop_seq) = jax.lax.scan(
+            step_fn, state, jnp.arange(n_steps))
+        return psnr0, psnr_seq, p_stop_seq
+
+    report = {}
+    for name, data in eval_sets.items():
+        psnr0, psnr_seq, p_stop = jax.device_get(
+            forced_episode(variables, data))
+        psnr_all = np.concatenate([psnr0[None], psnr_seq], 0)  # [T+1, B]
+        marg = np.diff(psnr_all, axis=0)                        # [T, B]
+        final = psnr_all[-1]
+        # oracle stop: first step t such that final - psnr_all[t] < thr
+        remaining = final[None] - psnr_all                      # [T+1, B]
+        oracle = np.argmax(remaining < args.threshold, axis=0)  # [B]
+        report[name] = {
+            "psnr_mean": [round(float(x), 3) for x in psnr_all.mean(1)],
+            "marginal_gain_mean": [round(float(x), 3) for x in marg.mean(1)],
+            "marginal_gain_max": [round(float(x), 3) for x in marg.max(1)],
+            "p_stop_mean": [round(float(x), 3) for x in p_stop.mean(1)],
+            "oracle_iters_mean": round(float(oracle.mean()), 2),
+            "oracle_psnr_mean": round(float(
+                psnr_all[oracle, np.arange(psnr_all.shape[1])].mean()), 3),
+            "full_psnr_mean": round(float(final.mean()), 3),
+        }
+        print(name, json.dumps(report[name], indent=1))
+
+    # summary: is (b) plausible?
+    om = np.mean([r["oracle_iters_mean"] for r in report.values()])
+    cost = np.mean([r["full_psnr_mean"] - r["oracle_psnr_mean"]
+                    for r in report.values()])
+    print(f"\noracle mean iters {om:.2f} / {n_steps}; "
+          f"PSNR cost of oracle stopping {cost:.3f} dB "
+          f"(threshold {args.threshold})")
+
+
+if __name__ == "__main__":
+    main()

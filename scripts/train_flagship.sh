@@ -10,4 +10,4 @@ shift || true
 exec python -m tfpnp_tpu --task csmri --solver admm --exp csmri_admm_5x6_48 \
   --env_batch 48 --rmsize 480 --warmup 20 --train_steps "$STEPS" \
   --max_episode_step 6 --action_pack 5 --episode_train_times 10 \
-  --validate_interval 50 --save_freq 300 -lp 0.05 -le 0.2 "$@"
+  --validate_interval 50 --save_freq 300 -lp 0.05 -le 0.05 "$@"

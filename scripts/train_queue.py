@@ -27,7 +27,7 @@ ROOT = Path(__file__).resolve().parent.parent
 COMMON = ["--env_batch", "48", "--rmsize", "480", "--warmup", "20",
           "--max_episode_step", "6", "--action_pack", "5",
           "--episode_train_times", "10", "--validate_interval", "50",
-          "--save_freq", "300", "-lp", "0.05", "-le", "0.2"]
+          "--save_freq", "300", "-lp", "0.05", "-le", "0.05"]
 
 
 def newest_checkpoint(exp: str):

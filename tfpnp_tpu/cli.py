@@ -83,7 +83,10 @@ def main(argv=None):
         episode_train_times=opt.episode_train_times,
         validate_interval=opt.validate_interval, save_freq=opt.save_freq,
         seed=opt.seed, replay_backend=opt.replay,
-        ckpt_backend=opt.ckpt_backend)
+        ckpt_backend=opt.ckpt_backend,
+        advantage_norm=not opt.no_advantage_norm,
+        terminal_mask=not opt.no_terminal_mask,
+        keep_ckpts=opt.keep_ckpts)
     trainer = MDDPGTrainer(cfg, env, actor, ranges, sample_data, lr_schedule,
                            evaluator=evaluator, log_dir=opt.output,
                            logger=logger, shard_batch=shard)

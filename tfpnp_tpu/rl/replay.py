@@ -94,6 +94,19 @@ class ReplayBuffer:
         idx = rng.choice(self._size, size=batch_size, replace=replace)
         return jax.tree.map(lambda buf: buf[idx], self._storage)
 
+    # ---- checkpointing (closes reference docs/todo.md:9 fully: the ring
+    # survives a SIGTERM+resume, so a resumed run's sampling distribution
+    # is indistinguishable from an uninterrupted one) -----------------------
+
+    def state_dict(self) -> dict:
+        return {"storage": self._storage, "idx": self._idx,
+                "size": self._size}
+
+    def load_state_dict(self, state: dict) -> None:
+        self._storage = state["storage"]
+        self._idx = int(state["idx"])
+        self._size = int(state["size"])
+
 
 class NativeReplayBuffer:
     """Ring buffer backed by the C++ replay engine (``_native/replay.cpp``):
@@ -158,6 +171,32 @@ class NativeReplayBuffer:
                             batch_size, ptrs)
         leaves = [o.reshape((batch_size,) + s) for o, s in zip(outs, self._shapes)]
         return jax.tree_util.tree_unflatten(self._treedef, leaves)
+
+    def state_dict(self) -> dict:
+        """Dump all stored rows (gathered out of the C++ ring) as a host
+        pytree. The write cursor is not exported by the engine; restore
+        re-inserts the rows in age order, which preserves the sampling
+        distribution exactly and the overwrite order up to a ring
+        rotation (immaterial for uniform sampling)."""
+        n = len(self)
+        if n == 0:
+            return {"rows": None, "size": 0}
+        idx = np.ascontiguousarray(np.arange(n, dtype=np.int64))
+        outs = [np.empty((n, int(np.prod(s)) if s else 1), np.float32)
+                for s in self._shapes]
+        ptrs = (ctypes.c_void_p * len(outs))(
+            *[o.ctypes.data_as(ctypes.c_void_p).value for o in outs])
+        self._lib.rb_gather(self._rb, idx.ctypes
+                            .data_as(ctypes.POINTER(ctypes.c_int64)), n, ptrs)
+        leaves = [o.reshape((n,) + s) for o, s in zip(outs, self._shapes)]
+        return {"rows": jax.tree_util.tree_unflatten(self._treedef, leaves),
+                "size": n}
+
+    def load_state_dict(self, state: dict) -> None:
+        if state.get("rows") is None:
+            return
+        n = int(state["size"])
+        self.store_batch(state["rows"], np.ones((n,), bool))
 
 
 class DeviceReplayBuffer:
@@ -241,6 +280,26 @@ class DeviceReplayBuffer:
         idx = rng.choice(self._size, size=batch_size, replace=replace)
         import jax.numpy as _jnp
         return self._gather_jit(self._storage, _jnp.asarray(idx, _jnp.int32))
+
+    def state_dict(self) -> dict:
+        """Device -> host dump of the ring (one d2h transfer at checkpoint
+        time; the trash slot at ``capacity`` is dropped)."""
+        storage = None
+        if self._storage is not None:
+            storage = jax.device_get(
+                jax.tree.map(lambda buf: buf[: self.capacity], self._storage))
+        return {"storage": storage, "idx": self._idx, "size": self._size}
+
+    def load_state_dict(self, state: dict) -> None:
+        import jax.numpy as _jnp
+
+        if state.get("storage") is not None:
+            self._storage = jax.tree.map(
+                lambda a: _jnp.concatenate(
+                    [_jnp.asarray(a), _jnp.zeros((1,) + a.shape[1:], a.dtype)]),
+                state["storage"])
+        self._idx = int(state["idx"])
+        self._size = int(state["size"])
 
 
 def make_replay_buffer(capacity: int, backend: str = "device"):

@@ -69,8 +69,14 @@ class TrainConfig:
     discount: float = 0.99
     tau: float = 0.001
     loop_penalty: float = 0.05
-    lambda_e: float = 0.2
+    lambda_e: float = 0.05
     episode_train_times: int = 10
+    # Stop-head training fixes (see actor_loss_fn; both default ON —
+    # without them the stop head collapses to "continue" and learned
+    # early stopping dies, RESULTS.md round-1 "iters 6.0"):
+    advantage_norm: bool = True
+    terminal_mask: bool = True
+    keep_ckpts: int = 3  # periodic step_* checkpoints retained on disk
     validate_interval: int = 50
     save_freq: int = 1000
     grad_clip: float = 50.0
@@ -126,6 +132,8 @@ class MDDPGTrainer:
                                          cfg.replay_backend)
         self.rng = np.random.default_rng(cfg.seed)
         self.key = jax.random.PRNGKey(cfg.seed)
+        self.episode = 0
+        self.best_eval = -np.inf
 
         # --- parameter/optimizer state ------------------------------------
         # All env math here runs jitted: the tunneled TPU runtime cannot
@@ -267,10 +275,32 @@ class MDDPGTrainer:
             obs2 = env.observe_from(data, new_state, T + 1.0 / cfg.max_episode_step)
 
             cont = (cfg.discount * (1.0 - action["idx_stop"].astype(jnp.float32)))
+            if cfg.terminal_mask:
+                # The reference bootstraps gamma*V(s') even when s is the
+                # LAST step of the episode (trainer.py:182-185): s' then
+                # has T >= 1, a state that never occurs in rollouts, so
+                # V(s') there is untrained extrapolation that inflates the
+                # value of "continue" at late steps. Mask the bootstrap at
+                # the cap — s' is terminal by construction (env/base.py
+                # at_cap), its true continuation value is 0.
+                at_cap = (T + 1.0 / cfg.max_episode_step
+                          >= 1.0 - 1e-6).astype(jnp.float32)
+                cont = cont * (1.0 - at_cap)
             v_cur = self.critic.apply({"params": critic_params}, obs)[:, 0]
             v_next_t = self.critic.apply({"params": target_params}, obs2)[:, 0]
             q_target = cont * v_next_t + reward              # (:182-185)
             advantage = jax.lax.stop_gradient(q_target - v_cur)
+            if cfg.advantage_norm:
+                # Center+scale the A2C advantage per update batch. Without
+                # this the early-training advantage is positive on average
+                # (delta-PSNR rewards are +1..5 dB while the critic lags),
+                # so logpi(sampled)*A reinforces whatever was sampled —
+                # almost always "continue" — and the stop head collapses
+                # to p_stop ~ 0 before the critic can learn that plateaued
+                # states have negative continuation value (measured:
+                # scripts/diag_stopping.py; RESULTS.md "iters 6.0").
+                advantage = (advantage - jnp.mean(advantage)) / (
+                    jnp.std(advantage) + 1e-6)
             a2c = logp * advantage                           # (:186-187)
             v_next = self.critic.apply({"params": critic_params}, obs2)[:, 0]
             ddpg = cont * v_next + reward                    # (:189-192)
@@ -360,9 +390,7 @@ class MDDPGTrainer:
 
     def train(self):
         cfg = self.cfg
-        episode = 0
         step = self.start_step
-        best_eval = -np.inf
         t_stamp = time.time()
 
         # graceful shutdown: SIGTERM/SIGINT finish the current episode and
@@ -384,7 +412,8 @@ class MDDPGTrainer:
             self.key, k_data, k_roll = jax.random.split(self.key, 3)
             rewards, psnr_final = self.collect_episode(k_data, k_roll)
             step += cfg.max_episode_step  # reference counts env steps (:69)
-            episode += 1
+            self.episode += 1
+            episode = self.episode
 
             interval_time = time.time() - t_stamp
             t_stamp = time.time()
@@ -424,9 +453,12 @@ class MDDPGTrainer:
 
                 if self.evaluator is not None and episode % cfg.validate_interval == 0:
                     eval_psnr = self.evaluator.eval(self.actor_variables(), step)
-                    if eval_psnr > best_eval:
-                        best_eval = eval_psnr
-                        self.save(Path(self.logger.log_dir) / "ckpt" / f"best{self.ckpt_ext}", step)
+                    if eval_psnr > self.best_eval:
+                        self.best_eval = eval_psnr
+                        # best is a model-selection snapshot, not a resume
+                        # point: skip the (large) replay ring
+                        self.save(Path(self.logger.log_dir) / "ckpt" / f"best{self.ckpt_ext}",
+                                  step, include_replay=False)
 
             train_time = time.time() - t_stamp
             mean_reward = float(np.asarray(rewards).sum(0).mean())
@@ -441,6 +473,7 @@ class MDDPGTrainer:
 
             if step % cfg.save_freq < cfg.max_episode_step:
                 self.save(Path(self.logger.log_dir) / "ckpt" / f"step_{step:07d}{self.ckpt_ext}", step)
+                self._rotate_ckpts()
             t_stamp = time.time()
 
         if stop_requested["flag"]:
@@ -464,9 +497,11 @@ class MDDPGTrainer:
     def ckpt_ext(self) -> str:
         return ".pkl" if self.cfg.ckpt_backend == "pickle" else ".orbax"
 
-    def _state_dict(self, step: int):
-        return {
+    def _state_dict(self, step: int, include_replay: bool = True):
+        state = {
             "step": step,
+            "episode": self.episode,
+            "best_eval": float(self.best_eval),
             "actor_params": self.actor_params,
             "actor_stats": self.actor_stats,
             "critic_params": self.critic_params,
@@ -476,13 +511,35 @@ class MDDPGTrainer:
             "key": self.key,
             "np_rng": self.rng.bit_generator.state,
         }
+        if include_replay:
+            # device -> host dump of the experience ring: a resumed run
+            # samples from the exact same buffer contents instead of
+            # silently restarting with an empty one (round-1 gap)
+            state["replay"] = self.buffer.state_dict()
+        return state
 
-    def save(self, path, step: int):
-        save_state(path, self._state_dict(step))
+    def save(self, path, step: int, include_replay: bool = True):
+        save_state(path, self._state_dict(step, include_replay))
         self.logger.log(f"saved checkpoint -> {path}")
 
+    def _rotate_ckpts(self):
+        """Keep only the newest ``keep_ckpts`` periodic step checkpoints —
+        they now carry the replay ring (~GBs at 128^2 x rmsize 480), so
+        unbounded accumulation is a disk problem. ``best``/``interrupted``/
+        ``final`` are never rotated."""
+        import shutil
+
+        ckpt_dir = Path(self.logger.log_dir) / "ckpt"
+        if not ckpt_dir.is_dir():
+            return
+        steps = sorted(p for p in ckpt_dir.iterdir()
+                       if p.name.startswith("step_"))
+        for p in steps[:-max(self.cfg.keep_ckpts, 1)]:
+            shutil.rmtree(p) if p.is_dir() else p.unlink()
+
     def load(self, path):
-        state = load_state(path, template=self._state_dict(0))
+        state = load_state(path,
+                           template=self._state_dict(0, include_replay=False))
         to_dev = lambda tree: jax.tree.map(jnp.asarray, tree)
         self.actor_params = to_dev(state["actor_params"])
         self.actor_stats = to_dev(state["actor_stats"])
@@ -492,5 +549,16 @@ class MDDPGTrainer:
         self.critic_opt = to_dev(state["critic_opt"])
         self.key = jnp.asarray(state["key"])
         self.rng.bit_generator.state = state["np_rng"]
-        self.start_step = int(state["step"]) + 1
-        self.logger.log(f"resumed from {path} at step {self.start_step}")
+        # step counts env steps already completed: the resumed loop must
+        # continue from exactly this value or the step sequence (and every
+        # step-keyed schedule/checkpoint trigger) shifts by one vs an
+        # uninterrupted run (tests/test_trainer.py::TestFullResume)
+        self.start_step = int(state["step"])
+        # round-1 checkpoints predate these keys; default to legacy behavior
+        self.episode = int(state.get("episode", 0))
+        self.best_eval = float(state.get("best_eval", -np.inf))
+        if state.get("replay") is not None:
+            self.buffer.load_state_dict(state["replay"])
+        self.logger.log(
+            f"resumed from {path} at step {self.start_step} "
+            f"(episode {self.episode}, RPM {self.buffer.size})")

@@ -30,7 +30,10 @@ import numpy as np
 __all__ = ["save_state", "load_state"]
 
 # keys that are not array pytrees and go to meta.json under orbax
-_META_KEYS = ("step", "np_rng")
+_META_KEYS = ("step", "np_rng", "episode", "best_eval")
+# keys whose tree structure is only known at save time (the replay ring's
+# leaf set depends on the task); restored without a template
+_UNTEMPLATED_KEYS = ("replay",)
 
 
 def save_state(path, state: Dict[str, Any]) -> None:
@@ -46,9 +49,16 @@ def save_state(path, state: Dict[str, Any]) -> None:
     import orbax.checkpoint as ocp
 
     meta = {k: state[k] for k in _META_KEYS if k in state}
-    arrays = {k: v for k, v in state.items() if k not in _META_KEYS}
+    arrays = {k: v for k, v in state.items()
+              if k not in _META_KEYS and k not in _UNTEMPLATED_KEYS}
     ck = ocp.StandardCheckpointer()
     ck.save(str((path / "arrays").resolve()), arrays, force=True)
+    for k in _UNTEMPLATED_KEYS:
+        if state.get(k) is not None:
+            # drop None leaves (e.g. an empty ring's storage) — orbax
+            # cannot serialize None; load_state restores what was saved
+            sub = {kk: vv for kk, vv in state[k].items() if vv is not None}
+            ck.save(str((path / k).resolve()), sub, force=True)
     if hasattr(ck, "wait_until_finished"):
         ck.wait_until_finished()
     (path / "meta.json").write_text(json.dumps(meta))
@@ -72,8 +82,13 @@ def load_state(path, template: Optional[Dict[str, Any]] = None) -> Dict[str, Any
     meta = json.loads((path / "meta.json").read_text())
     tmpl = None
     if template is not None:
-        arrays_t = {k: v for k, v in template.items() if k not in _META_KEYS}
+        arrays_t = {k: v for k, v in template.items()
+                    if k not in _META_KEYS and k not in _UNTEMPLATED_KEYS}
         tmpl = jax.tree.map(ocp.utils.to_shape_dtype_struct, arrays_t)
     ck = ocp.StandardCheckpointer()
     arrays = ck.restore(str((path / "arrays").resolve()), tmpl)
-    return {**dict(arrays), **meta}
+    extra = {}
+    for k in _UNTEMPLATED_KEYS:
+        if (path / k).exists():
+            extra[k] = dict(ck.restore(str((path / k).resolve())))
+    return {**dict(arrays), **extra, **meta}

@@ -40,7 +40,17 @@ class Options:
         p.add_argument("--seed", default=1234, type=int)
         p.add_argument("--loop_penalty", "-lp", type=float, default=0.05)
         p.add_argument("--action_pack", "-ap", type=int, default=5)
-        p.add_argument("--lambda_e", "-le", type=float, default=0.2)
+        p.add_argument("--lambda_e", "-le", type=float, default=0.05)
+        p.add_argument("--no_advantage_norm", action="store_true",
+                       help="disable A2C advantage normalization (the "
+                            "stop head then collapses to always-continue "
+                            "at this reward scale; see rl/trainer.py)")
+        p.add_argument("--no_terminal_mask", action="store_true",
+                       help="bootstrap V past the episode cap like the "
+                            "reference (trainer.py:182-185)")
+        p.add_argument("--keep_ckpts", type=int, default=3,
+                       help="periodic step checkpoints kept on disk "
+                            "(they carry the replay ring)")
         p.add_argument("--denoiser", type=str, default="unet",
                        choices=["unet", "tv"], help="prior (tv needs no weights)")
         p.add_argument("--denoiser_ckpt", type=str, default=None)

@@ -87,10 +87,14 @@ def main():
     # PR iADMM, alpha 27 (docs/results.md:53 protocol)
     rhos, sigmas = ops.get_rho_sigma(sigma=5 / 255, iter_num=it,
                                      model_sigma1=50.0, model_sigma2=8.0)
-    mask = jnp.asarray(pr.cdp_mask(n))
-    data = jax.jit(lambda k1, k2: pr.make_data(
-        k2, random_images(k1, b, n), mask, alphas=(27.0,)))(
-            jax.random.PRNGKey(12), jax.random.PRNGKey(13))
+    # f32 phases only; the complex mask is built in-graph — a captured
+    # complex device array becomes an MLIR closure constant, whose d2h
+    # materialization is UNIMPLEMENTED on the tunneled TPU runtime
+    phase = jnp.asarray(pr.cdp_mask_phase(n))
+    data = jax.jit(lambda k1, k2, ph: pr.make_data(
+        k2, random_images(k1, b, n), jnp.exp(1j * ph.astype(jnp.complex64)),
+        alphas=(27.0,)))(
+            jax.random.PRNGKey(12), jax.random.PRNGKey(13), phase)
     run("pr_iadmm    alpha27", get_solver("pr_iadmm", den), data,
         {"sigma_d": B(sigmas), "mu": B(rhos), "tau": B(np.full(it, 1.2))})
 

@@ -1,0 +1,118 @@
+"""Worker process for tests/test_multihost.py.
+
+Launched (2x) by the test with TFPNP_COORDINATOR/TFPNP_NUM_PROCESSES/
+TFPNP_PROCESS_ID set; joins a real ``jax.distributed`` CPU cluster
+(2 processes x 2 local devices = one 4-device 'dp' mesh), builds the tiny
+CS-MRI trainer over the multi-host mesh, and records:
+
+  phase 1  deterministic one-rollout + one-update probe (compared by the
+           test against a single-process 4-device run — must match)
+  phase 2  a short full training loop (must run and stay finite)
+
+Process 0 writes the probe JSON to argv[1].
+"""
+
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+
+
+def main():
+    out_path = sys.argv[1]
+
+    from tfpnp_tpu.parallel.distributed import init_distributed, is_multi_host
+
+    assert init_distributed(), "TFPNP_* env not set?"
+    assert is_multi_host() and jax.process_count() == 2
+    assert jax.device_count() == 4 and jax.local_device_count() == 2
+
+    import functools
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from tfpnp_tpu.data.synthetic import random_images
+    from tfpnp_tpu.env.base import PnPEnv
+    from tfpnp_tpu.models.actor import actor_spec_for
+    from tfpnp_tpu.parallel.mesh import (batch_sharder, local_assembler,
+                                         make_mesh, replicate)
+    from tfpnp_tpu.pnp import get_solver
+    from tfpnp_tpu.pnp.tv import TVDenoiser
+    from tfpnp_tpu.rl.trainer import MDDPGTrainer, TrainConfig
+    from tfpnp_tpu.tasks import csmri
+
+    N = 32
+    cfg = TrainConfig(train_steps=12, env_batch=8, max_episode_step=2,
+                      action_pack=2, rmsize=8, warmup=1,
+                      episode_train_times=2, validate_interval=1000,
+                      save_freq=10_000, seed=3, replay_backend="device")
+    solver = get_solver("csmri_admm", TVDenoiser(n_iter=5))
+    env = PnPEnv(solver, csmri.pack_obs, max_episode_step=cfg.max_episode_step)
+    masks = jnp.asarray(np.stack([csmri.radial_mask(N, 4)]))
+
+    def sample_data(key):
+        k1, k2 = jax.random.split(key)
+        return csmri.make_data(k2, random_images(k1, cfg.env_batch, N), masks)
+
+    mesh = make_mesh()  # 4-way dp over both processes
+    ranges, actor = actor_spec_for("csmri_admm", cfg.action_pack)
+    trainer = MDDPGTrainer(
+        cfg, env, actor, ranges, sample_data,
+        lr_schedule=lambda s: {"actor": 1e-3, "critic": 3e-4},
+        log_dir=f"/tmp/tfpnp_mh_{jax.process_index()}",
+        shard_batch=batch_sharder(mesh),
+        assemble_batch=local_assembler(mesh),
+        place_params=functools.partial(replicate, mesh))
+    assert trainer._replay_backend == "host"  # device ring demoted
+
+    # ---- phase 1: deterministic probe ---------------------------------
+    data = trainer.shard(sample_data(jax.random.PRNGKey(5)))
+    _, _, rewards, psnr_final = trainer._rollout(
+        trainer.actor_params, trainer.actor_stats, data, jax.random.PRNGKey(6))
+    batch = jax.jit(lambda d: trainer._encode(
+        {"data": d, "solver": env.solver.init(d),
+         "T": jnp.zeros((cfg.env_batch,), jnp.float32)}))(data)
+    out = trainer._update(
+        trainer.actor_params, trainer.actor_stats, trainer.critic_params,
+        trainer.target_params, trainer.actor_opt, trainer.critic_opt,
+        batch, jax.random.PRNGKey(7), 1e-3, 3e-4)
+    probe = {
+        "psnr_final": float(jnp.mean(psnr_final)),
+        "reward_sum": float(jnp.sum(rewards)),
+        "metrics": {k: float(v) for k, v in out[-1].items()},
+        "actor_norm_after": float(optax.global_norm(out[0])),
+        "bn_stat_sum": float(sum(jnp.sum(l) for l in jax.tree.leaves(out[1]))),
+    }
+    # donated inputs are gone; adopt the updated state for phase 2
+    (trainer.actor_params, trainer.actor_stats, trainer.critic_params,
+     trainer.target_params, trainer.actor_opt, trainer.critic_opt) = out[:-1]
+
+    # ---- phase 2: the full loop runs across processes ------------------
+    trainer.train()
+    assert trainer.buffer.size > 0
+    leaves = jax.tree.leaves(jax.device_get(trainer.actor_params))
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    probe["episodes"] = trainer.episode
+    probe["rpm"] = trainer.buffer.size
+
+    if jax.process_index() == 0:
+        Path(out_path).write_text(json.dumps(probe))
+    # keep the cluster alive until everyone is done
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("done")
+
+
+if __name__ == "__main__":
+    main()

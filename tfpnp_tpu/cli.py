@@ -46,6 +46,11 @@ def main(argv=None):
     ranges, actor = actor_spec_for(solver_name, opt.action_pack)
     mesh = make_mesh(opt.mesh_dp)
     shard = batch_sharder(mesh)
+    multi = jax.process_count() > 1
+    if multi:
+        logger.log(f"multi-host: {jax.process_count()} processes, "
+                   f"{jax.device_count()} devices (local "
+                   f"{jax.local_device_count()}), mesh {dict(mesh.shape)}")
     if opt.eval_data:  # external sets REPLACE the synthetic protocol
         from .data.npz import load_data_npz
         eval_sets = {}
@@ -55,8 +60,13 @@ def main(argv=None):
         logger.log(f"eval sets from --eval_data: {sorted(eval_sets)}")
     eval_sets = {k: shard(v) for k, v in eval_sets.items()}
 
+    # multi-host: every process joins the (replicated) eval computation —
+    # the actor variables are global arrays, so the episode program is a
+    # collective — but only process 0 writes artifacts
+    save_dir = (f"{opt.output}/eval_results"
+                if jax.process_index() == 0 else None)
     evaluator = Evaluator(env, actor, ranges, eval_sets,
-                          save_dir=f"{opt.output}/eval_results", logger=logger)
+                          save_dir=save_dir, logger=logger)
 
     if opt.eval:
         if opt.resume:
@@ -70,6 +80,9 @@ def main(argv=None):
             logger.log(f"loaded shipped policy "
                        f"{pretrained.policy_path(solver_name).name}")
         variables = jax.tree.map(jax.numpy.asarray, variables)
+        if multi:
+            from .parallel.mesh import replicate
+            variables = replicate(mesh, variables)
         from .utils.profiling import trace
         with trace(f"{opt.output}/trace", enabled=opt.profile):
             evaluator.eval(variables, step=opt.resume_step or 0)
@@ -87,9 +100,14 @@ def main(argv=None):
         advantage_norm=not opt.no_advantage_norm,
         terminal_mask=not opt.no_terminal_mask,
         keep_ckpts=opt.keep_ckpts)
+    from functools import partial
+
+    from .parallel.mesh import local_assembler, replicate
     trainer = MDDPGTrainer(cfg, env, actor, ranges, sample_data, lr_schedule,
                            evaluator=evaluator, log_dir=opt.output,
-                           logger=logger, shard_batch=shard)
+                           logger=logger, shard_batch=shard,
+                           assemble_batch=local_assembler(mesh) if multi else None,
+                           place_params=partial(replicate, mesh) if multi else (lambda x: x))
     if opt.resume:
         trainer.load(opt.resume)
     if opt.profile:

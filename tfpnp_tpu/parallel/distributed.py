@@ -13,11 +13,13 @@ explicit overrides for manual launches.
 from __future__ import annotations
 
 import os
-from typing import Optional
+from typing import Any, Optional
 
 import jax
+import numpy as np
 
-__all__ = ["init_distributed", "is_multi_host", "local_batch_slice"]
+__all__ = ["init_distributed", "is_multi_host", "local_batch_slice",
+           "local_rows"]
 
 
 def init_distributed(coordinator: Optional[str] = None,
@@ -50,7 +52,33 @@ def is_multi_host() -> bool:
 
 def local_batch_slice(global_batch: int) -> slice:
     """The rows of a globally-sharded batch this host should produce
-    (per-host data loading: each host synthesizes/loads only its shard)."""
+    (per-host data loading: each host synthesizes/loads only its shard).
+    Production call sites: ``parallel.mesh.batch_sharder`` (global-batch
+    assembly) and the trainer's multi-host replay path."""
     per = global_batch // jax.process_count()
     lo = per * jax.process_index()
     return slice(lo, lo + per)
+
+
+def local_rows(tree: Any, axis: int = 0) -> Any:
+    """Host-side view of the rows of a (possibly) globally-sharded pytree
+    that THIS process can address, concatenated in global order along
+    ``axis``. ``jax.device_get`` of a multi-host array raises (shards on
+    other hosts are unreachable); this is the per-host replacement used by
+    the trainer to pull its replay shard and logging stats out of a
+    dp-sharded rollout. Single-process arrays pass through whole."""
+
+    def one(a):
+        if not hasattr(a, "addressable_shards"):
+            return np.asarray(a)
+        # dedupe replicas (replicated arrays carry one shard per device)
+        seen = {}
+        for s in a.addressable_shards:
+            key = tuple((sl.start, sl.stop) for sl in s.index)
+            seen.setdefault(key, s)
+        shards = sorted(seen.values(),
+                        key=lambda s: s.index[axis].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards],
+                              axis=axis)
+
+    return jax.tree.map(one, tree)

@@ -117,7 +117,9 @@ class MDDPGTrainer:
                  lr_schedule: Callable[[int], Dict[str, float]],
                  evaluator=None, log_dir: str = "logs/run",
                  logger: Optional[Logger] = None,
-                 shard_batch: Callable[[Any], Any] = lambda x: x):
+                 shard_batch: Callable[[Any], Any] = lambda x: x,
+                 assemble_batch: Optional[Callable[[Any], Any]] = None,
+                 place_params: Callable[[Any], Any] = lambda x: x):
         self.cfg = cfg
         self.env = env
         self.actor = actor
@@ -127,10 +129,32 @@ class MDDPGTrainer:
         self.evaluator = evaluator
         self.logger = logger or Logger(log_dir)
         self.shard = shard_batch
+        # replay batches: single-host they are full global batches (shard);
+        # multi-host each process samples only its LOCAL rows and
+        # contributes a block (parallel.mesh.local_assembler)
+        self.assemble = assemble_batch or shard_batch
+        # multi-host: parameters/optimizer state must live replicated on
+        # the GLOBAL mesh or they cannot meet dp-sharded batches in one
+        # jitted program (parallel.mesh.replicate)
+        self.place_params = place_params
+        self._nproc = jax.process_count()
 
+        replay_backend = cfg.replay_backend
+        if self._nproc > 1 and replay_backend == "device":
+            # the HBM ring's host-side cursor assumes every row is locally
+            # addressable; multi-host keeps per-host host rings instead
+            self.logger.log("multi-host run: replay backend device -> host")
+            replay_backend = "host"
+        self._replay_backend = replay_backend
         self.buffer = make_replay_buffer(cfg.rmsize * cfg.max_episode_step,
-                                         cfg.replay_backend)
+                                         replay_backend)
         self.rng = np.random.default_rng(cfg.seed)
+        # per-host independent sampling stream (hosts hold disjoint ring
+        # contents); single-host this IS self.rng so behavior/checkpoints
+        # are unchanged
+        self.rng_local = (self.rng if self._nproc == 1 else
+                          np.random.default_rng(cfg.seed
+                                                + 7919 * jax.process_index()))
         self.key = jax.random.PRNGKey(cfg.seed)
         self.episode = 0
         self.best_eval = -np.inf
@@ -152,9 +176,15 @@ class MDDPGTrainer:
         self.critic = critic
         self.critic_params = critic.init(k2, obs0[:1])["params"]
         self.target_params = jax.tree.map(jnp.copy, self.critic_params)  # hard sync (:53)
+        # on a multi-host mesh, promote every parameter tree to a globally
+        # replicated array (identical across processes by identical seeds)
+        self.actor_params = self.place_params(self.actor_params)
+        self.actor_stats = self.place_params(self.actor_stats)
+        self.critic_params = self.place_params(self.critic_params)
+        self.target_params = self.place_params(self.target_params)
         self.tx = _tx()
-        self.actor_opt = self.tx.init(self.actor_params)
-        self.critic_opt = self.tx.init(self.critic_params)
+        self.actor_opt = self.place_params(self.tx.init(self.actor_params))
+        self.critic_opt = self.place_params(self.tx.init(self.critic_params))
         self.start_step = 1
 
         # f32 wire codec: everything crossing the device<->host boundary
@@ -373,19 +403,32 @@ class MDDPGTrainer:
         data = self.shard(self.sample_data(k_data))
         entries, alive, rewards, psnr_final = self._rollout(
             self.actor_params, self.actor_stats, data, k_roll)
-        if self.cfg.replay_backend == "device":
+        if self._replay_backend == "device":
             # experience stays in HBM: one jitted flatten + one jitted
             # scatter; only the tiny alive mask reaches the host
             rows = self._flatten_rows(entries, data)
             self.buffer.store_batch(rows, alive.reshape(-1))
         else:
-            entries = jax.device_get(entries)
-            alive_np = np.asarray(alive) > 0.5
-            data_np = jax.device_get(self._encode_jit(data))
+            if self._nproc > 1:
+                # each host keeps only the rollout rows it can address —
+                # the per-host experience shard (device_get of a
+                # multi-host array raises)
+                from ..parallel.distributed import local_rows
+                entries = local_rows(entries, axis=1)
+                alive_np = local_rows(alive, axis=1) > 0.5
+                data_np = local_rows(self._encode_jit(data))
+            else:
+                entries = jax.device_get(entries)
+                alive_np = np.asarray(alive) > 0.5
+                data_np = jax.device_get(self._encode_jit(data))
             for t in range(self.cfg.max_episode_step):
                 entry_t = jax.tree.map(lambda a: a[t], entries)
                 entry_t = {"data": data_np, **entry_t}
                 self.buffer.store_batch(entry_t, alive_np[t])
+        if self._nproc > 1:
+            from ..parallel.distributed import local_rows
+            rewards = local_rows(rewards, axis=1)
+            psnr_final = local_rows(psnr_final)
         return rewards, psnr_final
 
     def train(self):
@@ -439,9 +482,13 @@ class MDDPGTrainer:
                         self.buffer._storage, jnp.asarray(idx, jnp.int32),
                         keys, lr["actor"], lr["critic"])
                 else:
+                    # multi-host: each process samples env_batch / nproc
+                    # LOCAL rows from its own ring and local_assembler
+                    # builds the global dp-sharded minibatch
+                    per = cfg.env_batch // self._nproc
                     for _ in range(cfg.episode_train_times):
-                        batch = self.buffer.sample(cfg.env_batch, self.rng)
-                        batch = self.shard(jax.tree.map(jnp.asarray, batch))
+                        batch = self.buffer.sample(per, self.rng_local)
+                        batch = self.assemble(jax.tree.map(jnp.asarray, batch))
                         self.key, k_up = jax.random.split(self.key)
                         (self.actor_params, self.actor_stats, self.critic_params,
                          self.target_params, self.actor_opt, self.critic_opt,
@@ -519,6 +566,15 @@ class MDDPGTrainer:
         return state
 
     def save(self, path, step: int, include_replay: bool = True):
+        if self._nproc > 1:
+            # params are replicated (identical on every host); the pickle
+            # backend writes once from process 0. Per-host replay rings
+            # are not globally checkpointed — a multi-host resume restores
+            # params/optimizers/RNG and refills the rings. (The orbax
+            # backend's save is a collective; all processes participate.)
+            include_replay = False
+            if self.cfg.ckpt_backend == "pickle" and jax.process_index() != 0:
+                return
         save_state(path, self._state_dict(step, include_replay))
         self.logger.log(f"saved checkpoint -> {path}")
 
@@ -540,7 +596,7 @@ class MDDPGTrainer:
     def load(self, path):
         state = load_state(path,
                            template=self._state_dict(0, include_replay=False))
-        to_dev = lambda tree: jax.tree.map(jnp.asarray, tree)
+        to_dev = lambda tree: self.place_params(jax.tree.map(jnp.asarray, tree))
         self.actor_params = to_dev(state["actor_params"])
         self.actor_stats = to_dev(state["actor_stats"])
         self.critic_params = to_dev(state["critic_params"])

@@ -263,7 +263,8 @@ class TestFullResume:
         def cfg(**kw):
             return TrainConfig(env_batch=4, max_episode_step=2, action_pack=2,
                                rmsize=8, warmup=1, episode_train_times=2,
-                               validate_interval=1000, seed=3, **kw)
+                               validate_interval=1000, seed=3,
+                               periodic_replay=True, **kw)
 
         # uninterrupted run: 6 episodes (steps 1 -> 13), checkpoint at 5
         a = _make_trainer(tmp_path / "a", cfg(train_steps=12, save_freq=4))

@@ -135,4 +135,9 @@ def policy_apply(actor: ResNetActor, variables, obs: jnp.ndarray,
         scale, shift = action_ranges[k]
         action[k] = raw[:, i] * scale + shift
     action["idx_stop"] = idx_stop
+    # differentiable stop probability: the trainer's exact two-action
+    # policy gradient (rl/trainer.py stop_grad_mode="exact") needs
+    # d p_stop / d theta, not just the sampled index; solvers ignore it
+    # (filter_hyperparameter picks registered keys only)
+    action["p_stop"] = probs[:, 1]
     return action, log_prob, entropy, new_stats

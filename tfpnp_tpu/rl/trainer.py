@@ -71,12 +71,18 @@ class TrainConfig:
     loop_penalty: float = 0.05
     lambda_e: float = 0.05
     episode_train_times: int = 10
-    # Stop-head training fixes (see actor_loss_fn; both default ON —
-    # without them the stop head collapses to "continue" and learned
-    # early stopping dies, RESULTS.md round-1 "iters 6.0"):
-    advantage_norm: bool = True
-    terminal_mask: bool = True
+    # Stop-head training (see actor_loss_fn). "exact" = closed-form
+    # two-action policy gradient (default; REINFORCE is sampling-starved
+    # and collapses to always-continue at this reward scale — RESULTS.md
+    # round-1 "iters 6.0"); "reinforce" = the reference estimator.
+    stop_grad_mode: str = "exact"
+    advantage_norm: bool = True   # reinforce mode only
+    terminal_mask: bool = True    # don't bootstrap V past the episode cap
     keep_ckpts: int = 3  # periodic step_* checkpoints retained on disk
+    # periodic step checkpoints skip the replay ring by default: a 2880 x
+    # 128^2 ring is ~2.5 GB / ~105 s over the tunneled link per save;
+    # interrupted/final checkpoints always carry it
+    periodic_replay: bool = False
     validate_interval: int = 50
     save_freq: int = 1000
     grad_clip: float = 50.0
@@ -304,7 +310,10 @@ class MDDPGTrainer:
             reward = reward - cfg.loop_penalty  # (:174)
             obs2 = env.observe_from(data, new_state, T + 1.0 / cfg.max_episode_step)
 
-            cont = (cfg.discount * (1.0 - action["idx_stop"].astype(jnp.float32)))
+            sampled_cont = (cfg.discount
+                            * (1.0 - action["idx_stop"].astype(jnp.float32)))
+            # continuation factor of the *continue* action itself
+            cont_if_continue = jnp.full_like(reward, cfg.discount)
             if cfg.terminal_mask:
                 # The reference bootstraps gamma*V(s') even when s is the
                 # LAST step of the episode (trainer.py:182-185): s' then
@@ -315,25 +324,47 @@ class MDDPGTrainer:
                 # at_cap), its true continuation value is 0.
                 at_cap = (T + 1.0 / cfg.max_episode_step
                           >= 1.0 - 1e-6).astype(jnp.float32)
-                cont = cont * (1.0 - at_cap)
+                sampled_cont = sampled_cont * (1.0 - at_cap)
+                cont_if_continue = cont_if_continue * (1.0 - at_cap)
             v_cur = self.critic.apply({"params": critic_params}, obs)[:, 0]
             v_next_t = self.critic.apply({"params": target_params}, obs2)[:, 0]
-            q_target = cont * v_next_t + reward              # (:182-185)
-            advantage = jax.lax.stop_gradient(q_target - v_cur)
-            if cfg.advantage_norm:
-                # Center+scale the A2C advantage per update batch. Without
-                # this the early-training advantage is positive on average
-                # (delta-PSNR rewards are +1..5 dB while the critic lags),
-                # so logpi(sampled)*A reinforces whatever was sampled —
-                # almost always "continue" — and the stop head collapses
-                # to p_stop ~ 0 before the critic can learn that plateaued
-                # states have negative continuation value (measured:
-                # scripts/diag_stopping.py; RESULTS.md "iters 6.0").
-                advantage = (advantage - jnp.mean(advantage)) / (
-                    jnp.std(advantage) + 1e-6)
-            a2c = logp * advantage                           # (:186-187)
+
+            if cfg.stop_grad_mode == "exact":
+                # Exact two-action policy gradient for the stop head.
+                # Both action-values are computable without sampling:
+                #   Q(stop)     = r                 (episode ends)
+                #   Q(continue) = r + gamma*V(s')
+                # so instead of the reference's single-sample REINFORCE
+                # (logpi(a_sampled)*A, trainer.py:186-187) we ascend the
+                # exact expectation  p_stop*A(stop) + (1-p_stop)*A(cont).
+                # The stop-head gradient reduces to -gamma*V(s'): push
+                # toward stopping exactly where the critic says the
+                # remaining episode is worth less than zero. REINFORCE
+                # here is sampling-starved: once p_stop collapses early
+                # (positive-mean advantages while the critic lags),
+                # 'stop' is never sampled again and cannot recover —
+                # measured round 1/2: entropy -> 0.003, iters 6.0.
+                q_stop = reward
+                q_cont = cont_if_continue * v_next_t + reward
+                a2c = (action["p_stop"] * jax.lax.stop_gradient(q_stop - v_cur)
+                       + (1.0 - action["p_stop"])
+                       * jax.lax.stop_gradient(q_cont - v_cur))
+                # critic target: expected SARSA under the current policy
+                # (lower variance than the sampled-action target)
+                p_sg = jax.lax.stop_gradient(action["p_stop"])
+                q_target = p_sg * q_stop + (1.0 - p_sg) * q_cont
+            else:  # "reinforce": the reference estimator (:182-187)
+                q_target = sampled_cont * v_next_t + reward
+                advantage = jax.lax.stop_gradient(q_target - v_cur)
+                if cfg.advantage_norm:
+                    # center+scale per batch: without this the early-
+                    # training advantage is positive on average and
+                    # logpi(sampled)*A reinforces whatever was sampled
+                    advantage = (advantage - jnp.mean(advantage)) / (
+                        jnp.std(advantage) + 1e-6)
+                a2c = logp * advantage
             v_next = self.critic.apply({"params": critic_params}, obs2)[:, 0]
-            ddpg = cont * v_next + reward                    # (:189-192)
+            ddpg = sampled_cont * v_next + reward            # (:189-192)
             policy_loss = -jnp.mean(a2c + ddpg + cfg.lambda_e * entropy)
             aux = (new_stats, obs, q_target, jnp.mean(entropy))
             return policy_loss, aux
@@ -519,7 +550,8 @@ class MDDPGTrainer:
                                        "acc_reward": mean_reward, **result})
 
             if step % cfg.save_freq < cfg.max_episode_step:
-                self.save(Path(self.logger.log_dir) / "ckpt" / f"step_{step:07d}{self.ckpt_ext}", step)
+                self.save(Path(self.logger.log_dir) / "ckpt" / f"step_{step:07d}{self.ckpt_ext}",
+                          step, include_replay=cfg.periodic_replay)
                 self._rotate_ckpts()
             t_stamp = time.time()
 

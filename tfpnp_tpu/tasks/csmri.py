@@ -118,13 +118,19 @@ def build(opt, denoiser):
     mk_eval = jax.jit(
         lambda k, g, m, s: make_data(k, g, m, sigma_list=(s,)),
         static_argnums=3)
+    # ONE fixed 7-image eval corpus for the whole mask x sigma grid (the
+    # reference evaluates the same Medical7_2020 images under every
+    # config, tasks/csmri/main.py:22-39). Drawing fresh images per config
+    # made cross-config numbers incomparable — one unlucky draw produced
+    # the round-1 CT_7.5 anomaly (RESULTS.md).
+    k_img = jax.random.PRNGKey(7000)
+    gt = random_images(k_img, 7, n)
     eval_sets = {}
     for i, accel in enumerate((2, 4, 8)):
-        k = jax.random.PRNGKey(7000 + i)
-        gt = random_images(k, 7, n)
         for s in sigmas:
             eval_sets[f"radial_{n}_{accel}_{s:.0f}"] = mk_eval(
-                jax.random.fold_in(k, 1), gt, masks[i:i + 1], s)
+                jax.random.fold_in(k_img, 100 * i + int(s)), gt,
+                masks[i:i + 1], s)
 
     def lr_schedule(step):  # tasks/csmri/main.py:53-57
         if step < 10000:

@@ -76,13 +76,17 @@ def build(opt, denoiser):
         gt = sample_gt(k1, opt.env_batch)
         return make_data(k2, gt, radon, sigma_ns=sigma_ns)
 
+    # ONE fixed eval corpus across the noise grid (see tasks/csmri.py:
+    # per-config draws caused the round-1 CT_7.5 anomaly — the 7201 image
+    # set contained several hard draws, faking a non-monotone noise
+    # response; with shared images PSNR is monotone in sigma)
+    k_img = jax.random.PRNGKey(7200)
+    gt = random_images(k_img, 7, n)
     eval_sets = {}
     for i, s in enumerate(sigma_ns):
-        k = jax.random.PRNGKey(7200 + i)
-        gt = random_images(k, 7, n)
         eval_sets[f"CT_{s * 100:g}"] = jax.jit(
             lambda kk, g, s=s: make_data(kk, g, radon, sigma_ns=(s,)))(
-                jax.random.fold_in(k, 1), gt)
+                jax.random.fold_in(k_img, 1 + i), gt)
 
     def lr_schedule(step):  # tasks/ct/main.py:75-79
         if step < 10000:

@@ -136,13 +136,16 @@ def build(opt, denoiser):
         static_argnums=3)
     families = {"gaussian": kernels[0:3], "aniso": kernels[3:6],
                 "motion": kernels[6:8]}
+    # ONE fixed corpus across the kernel-family x sigma grid (see
+    # tasks/csmri.py — per-config draws make cross-config numbers
+    # incomparable)
+    k_img = jax.random.PRNGKey(9000)
+    gt = random_images(k_img, 7, n)
     eval_sets = {}
     for i, (fam, ks) in enumerate(families.items()):
-        k = jax.random.PRNGKey(9000 + i)
-        gt = random_images(k, 7, n)
         for s in sigmas:
             eval_sets[f"deblur_{fam}_{s:g}"] = mk_eval(
-                jax.random.fold_in(k, 1), gt, ks, s)
+                jax.random.fold_in(k_img, 100 * i + int(s)), gt, ks, s)
 
     def lr_schedule(step):  # same ladder as CS-MRI (tasks/csmri/main.py:53-57)
         if step < 10000:

@@ -79,13 +79,15 @@ def build(opt, denoiser):
     mk_eval = jax.jit(
         lambda k, g, r, s: make_data(k, g, rates=(r,), sigma_list=(s,)),
         static_argnums=(2, 3))
+    # ONE fixed corpus across the keep-rate x sigma grid
+    # (see tasks/csmri.py)
+    k_img = jax.random.PRNGKey(11000)
+    gt = random_images(k_img, 7, n)
     eval_sets = {}
     for i, rate in enumerate(KEEP_RATES):
-        k = jax.random.PRNGKey(11000 + i)
-        gt = random_images(k, 7, n)
         for s in sigmas:
             eval_sets[f"inpaint_{rate:g}_{s:g}"] = mk_eval(
-                jax.random.fold_in(k, 1), gt, rate, s)
+                jax.random.fold_in(k_img, 100 * i + int(s)), gt, rate, s)
 
     def lr_schedule(step):  # same ladder as CS-MRI (tasks/csmri/main.py:53-57)
         if step < 10000:

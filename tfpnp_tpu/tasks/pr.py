@@ -95,11 +95,13 @@ def build(opt, denoiser):
         mask = jnp.exp(1j * phase.astype(jnp.complex64))
         return make_data(k2, gt, mask, alphas=(9.0, 27.0, 81.0))
 
+    # ONE fixed 12-image corpus across the alpha grid (the reference's
+    # PrDeep_12 images are shared by every alpha, tasks/pr/main.py;
+    # per-config draws made cross-alpha numbers incomparable)
+    k_img = jax.random.PRNGKey(7100)
+    gt = random_images(k_img, 12, n)
     eval_sets = {}
     for i, alpha in enumerate((9.0, 27.0, 81.0)):
-        k = jax.random.PRNGKey(7100 + i)
-        gt = random_images(k, 12, n)
-
         # jitted synthesis: no eager complex ops (see rl/trainer.py)
         @partial(jax.jit, static_argnames="a")
         def _make(kk, g, a):
@@ -107,7 +109,7 @@ def build(opt, denoiser):
             return make_data(kk, g, mask, alphas=(a,))
 
         eval_sets[f"alpha_{int(alpha)}"] = _make(
-            jax.random.fold_in(k, 1), gt, a=float(alpha))
+            jax.random.fold_in(k_img, 1 + i), gt, a=float(alpha))
 
     def lr_schedule(step):  # tasks/pr/main.py:75-79
         if step < 10000:

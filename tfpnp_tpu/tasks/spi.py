@@ -71,13 +71,15 @@ def build(opt, denoiser):
         K = int(host_rng.choice(Ks))
         return mk[K](key)
 
+    # ONE fixed 13-image corpus across the K grid (see tasks/csmri.py;
+    # the reference's 13 test images are shared by every K)
+    k_img = jax.random.PRNGKey(7300)
+    gt = random_images(k_img, 13, n)
     eval_sets = {}
     for i, K in enumerate(Ks):
-        k = jax.random.PRNGKey(7300 + i)
-        gt = random_images(k, 13, n)
         eval_sets[f"spi_x{K}"] = jax.jit(
             lambda kk, g, K=K: make_data(kk, g, K=K))(
-                jax.random.fold_in(k, 1), gt)
+                jax.random.fold_in(k_img, 1 + i), gt)
 
     def lr_schedule(step):  # tasks/spi/main.py:71-75
         if step < 10000:

@@ -41,6 +41,11 @@ class Options:
         p.add_argument("--loop_penalty", "-lp", type=float, default=0.05)
         p.add_argument("--action_pack", "-ap", type=int, default=5)
         p.add_argument("--lambda_e", "-le", type=float, default=0.05)
+        p.add_argument("--stop_grad", type=str, default="exact",
+                       choices=["exact", "reinforce"],
+                       help="stop-head gradient: exact two-action policy "
+                            "gradient (default) or the reference's "
+                            "single-sample REINFORCE (rl/trainer.py)")
         p.add_argument("--no_advantage_norm", action="store_true",
                        help="disable A2C advantage normalization (the "
                             "stop head then collapses to always-continue "

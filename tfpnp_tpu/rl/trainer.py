@@ -78,6 +78,9 @@ class TrainConfig:
     stop_grad_mode: str = "exact"
     advantage_norm: bool = True   # reinforce mode only
     terminal_mask: bool = True    # don't bootstrap V past the episode cap
+    # weight of the Monte-Carlo return-to-go term in the critic loss
+    # (0 = pure 1-step bootstrap like the reference; see _rollout_impl)
+    mc_weight: float = 0.5
     keep_ckpts: int = 3  # periodic step_* checkpoints retained on disk
     # periodic step checkpoints skip the replay ring by default: a 2880 x
     # 128^2 ring is ~2.5 GB / ~105 s over the tunneled link per save;
@@ -265,6 +268,23 @@ class MDDPGTrainer:
         keys = jax.random.split(key, self.cfg.max_episode_step)
         final, (entries, alive, rewards) = jax.lax.scan(step_fn, state0, keys)
         psnr_final = final["last_psnr"]
+        # Monte-Carlo return-to-go per stored row: the rollout holds the
+        # whole episode, so each decision state gets its OBSERVED
+        # discounted remaining return (penalty-adjusted, zero after the
+        # item stops). The critic trains on a blend of this and the
+        # 1-step bootstrap (cfg.mc_weight): with bootstrap alone the
+        # "plateaued states have ~zero remaining value" signal crawls
+        # backward one T-level per ~1/tau updates and the stop head
+        # stays shut for the whole run (measured round 2: v_next_late
+        # stuck >> r_late). The reference stores bare observations and
+        # cannot form this target (trainer.py:224-234).
+        pen = rewards - self.cfg.loop_penalty * alive
+        def rev(carry, r_t):
+            ret = r_t + self.cfg.discount * carry
+            return ret, ret
+        _, returns = jax.lax.scan(rev, jnp.zeros_like(pen[0]), pen,
+                                  reverse=True)
+        entries = {**entries, "ret": returns}
         return entries, alive, rewards, psnr_final
 
     # ------------------------------------------------------------------ #
@@ -296,6 +316,8 @@ class MDDPGTrainer:
                      target_params, actor_opt, critic_opt, batch, key, lr_a, lr_c):
         env = self.env
         cfg = self.cfg
+        batch = dict(batch)
+        ret_mc = batch.pop("ret", None)  # observed return-to-go (f32)
         batch = self._decode(batch)  # f32 wire format -> native dtypes
         data, solver_state, T = batch["data"], batch["solver"], batch["T"]
         k_pol, k_solver = jax.random.split(key)
@@ -366,15 +388,30 @@ class MDDPGTrainer:
             v_next = self.critic.apply({"params": critic_params}, obs2)[:, 0]
             ddpg = sampled_cont * v_next + reward            # (:189-192)
             policy_loss = -jnp.mean(a2c + ddpg + cfg.lambda_e * entropy)
-            aux = (new_stats, obs, q_target, jnp.mean(entropy))
+            # stop-head diagnostics: does the critic resolve episode time?
+            # (late = last two steps before the cap). If v_next_late stays
+            # >> r_late the stop head can never open (p = sigmoid(-gamma
+            # V'/lambda)) — the round-2 failure signature.
+            late = (T >= (cfg.max_episode_step - 2.0)
+                    / cfg.max_episode_step - 1e-6).astype(jnp.float32)
+            nl = jnp.sum(late) + 1e-6
+            diag = {"v_next_late": jnp.sum(v_next_t * late) / nl,
+                    "r_late": jnp.sum(reward * late) / nl,
+                    "p_stop_late": jnp.sum(action["p_stop"] * late) / nl,
+                    "v_next_early": jnp.sum(v_next_t * (1 - late))
+                                    / (jnp.sum(1 - late) + 1e-6)}
+            aux = (new_stats, obs, q_target, jnp.mean(entropy), diag)
             return policy_loss, aux
 
-        (policy_loss, (new_stats, obs, q_target, mean_ent)), a_grads = \
+        (policy_loss, (new_stats, obs, q_target, mean_ent, diag)), a_grads = \
             jax.value_and_grad(actor_loss_fn, has_aux=True)(actor_params)
 
         def critic_loss_fn(c_params):
             v_cur = self.critic.apply({"params": c_params}, obs)[:, 0]
-            return jnp.mean((jax.lax.stop_gradient(q_target) - v_cur) ** 2)
+            loss = jnp.mean((jax.lax.stop_gradient(q_target) - v_cur) ** 2)
+            if ret_mc is not None and cfg.mc_weight > 0.0:
+                loss = loss + cfg.mc_weight * jnp.mean((ret_mc - v_cur) ** 2)
+            return loss
 
         value_loss, c_grads = jax.value_and_grad(critic_loss_fn)(critic_params)
 
@@ -417,6 +454,7 @@ class MDDPGTrainer:
         metrics = {"Q": fin(-policy_loss), "critic_loss": fin(value_loss),
                    "dist_entropy": fin(mean_ent), "actor_norm": fin(a_norm),
                    "critic_norm": fin(c_norm),
+                   **{k: fin(v) for k, v in diag.items()},
                    "skipped": 1.0 - ok.astype(jnp.float32)}
         return (actor_params, new_stats, critic_params, target_params,
                 actor_opt, critic_opt, metrics)

@@ -46,6 +46,9 @@ class Options:
                        help="stop-head gradient: exact two-action policy "
                             "gradient (default) or the reference's "
                             "single-sample REINFORCE (rl/trainer.py)")
+        p.add_argument("--mc_weight", type=float, default=0.5,
+                       help="Monte-Carlo return-to-go weight in the critic "
+                            "loss (0 = reference 1-step bootstrap)")
         p.add_argument("--no_advantage_norm", action="store_true",
                        help="disable A2C advantage normalization (the "
                             "stop head then collapses to always-continue "

@@ -12,6 +12,7 @@ host only orchestrates and checkpoints.
 
 Usage:
   python scripts/train_denoiser.py [--steps 12000] [--batch 32] [--size 128]
+                                   [--arch unet|s2d]
                                    [--out tfpnp_tpu/pretrained/unet_denoiser.pkl]
 """
 
@@ -29,7 +30,7 @@ import optax
 
 from tfpnp_tpu.data.synthetic import random_images
 from tfpnp_tpu.models.unet import UNet
-from tfpnp_tpu.pnp.denoiser import save_denoiser_params
+from tfpnp_tpu.pnp.denoiser import make_denoiser_module, save_denoiser_params
 
 
 def main():
@@ -40,12 +41,15 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--sigma_max", type=float, default=70.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--arch", type=str, default="unet", choices=["unet", "s2d"],
+                    help="unet = reference layout; s2d = TPU-shaped "
+                         "space-to-depth variant (models/unet.py)")
     ap.add_argument("--out", type=str, default="tfpnp_tpu/pretrained/unet_denoiser.pkl")
     ap.add_argument("--val_every", type=int, default=1000)
     args = ap.parse_args()
 
     print("devices:", jax.devices(), flush=True)
-    model = UNet(2, 1)
+    model = make_denoiser_module(args.arch)
     key = jax.random.PRNGKey(args.seed)
     key, k_init = jax.random.split(key)
     params = model.init(k_init, jnp.zeros((1, args.size, args.size, 2)))["params"]
@@ -109,7 +113,7 @@ def main():
             psnrs = {s: float(val_psnr(params, val_key, s)) for s in (15, 25, 50)}
             print(f"  val PSNR: " + "  ".join(f"s{s}={v:.2f}dB" for s, v in psnrs.items()),
                   flush=True)
-            save_denoiser_params(params, args.out)
+            save_denoiser_params(params, args.out, arch=args.arch)
             print(f"  saved -> {args.out}", flush=True)
 
 

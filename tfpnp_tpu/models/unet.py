@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["UNet", "upsample2x_align_corners"]
+__all__ = ["UNet", "UNetS2D", "upsample2x_align_corners",
+           "space_to_depth", "depth_to_space"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -122,3 +123,64 @@ class UNet(nn.Module):
                            name="outc")(x)
         return (inp[..., : self.out_channels].astype(jnp.float32)
                 + residual.astype(jnp.float32))
+
+
+def space_to_depth(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/r, W/r, C*r*r] (pixel-unshuffle)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // r, w // r, r * r * c)
+
+
+def depth_to_space(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """[B, H, W, C*r*r] -> [B, H*r, W*r, C] (inverse of space_to_depth)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w, r, r, c // (r * r))
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * r, w * r, c // (r * r))
+
+
+class UNetS2D(nn.Module):
+    """TPU-shaped residual denoiser: UNet behind a space-to-depth shuffle.
+
+    The reference UNet's top level runs 3x3 convs at 32 output channels on
+    the full-resolution grid — 25% of the MXU's 128 lanes and the largest
+    HBM working set of the network (measured: the full-res blocks dominate
+    the forward at ~28% MFU). Pixel-unshuffling the input by ``factor``
+    moves the same information into channels: every conv then runs at
+    >=64 lanes on a 4x-smaller grid. Per-conv FLOPs are invariant
+    ((H/2)^2 (2C)^2 = H^2 C^2) but one whole scale of full-res blocks
+    disappears and the top-level bandwidth halves.
+
+    Same denoiser interface as ``UNet`` (in 2ch noisy+sigma-map ->
+    residual 1ch, reference denoiser/base.py:23-32); trained by
+    ``scripts/train_denoiser.py --arch s2d``. The reference repo contains
+    an (unused) shuffle-based denoiser family of its own — the SGN nets
+    (unet.py:134-357) — validating the design lineage.
+    """
+
+    in_channels: int = 2
+    out_channels: int = 1
+    widths: Sequence[int] = (64, 128, 256, 512)
+    factor: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inp = x
+        r = self.factor
+        w = self.widths
+        z = space_to_depth(x, r)
+        skips = []
+        z = ConvBlock(w[0], dtype=self.dtype, name="inc")(z)
+        for i in range(1, len(w)):
+            skips.append(z)
+            z = nn.max_pool(z, (2, 2), strides=(2, 2))
+            z = ConvBlock(w[i], dtype=self.dtype, name=f"down{i}")(z)
+        for i in range(len(w) - 2, -1, -1):
+            z = upsample2x_align_corners(z)
+            z = jnp.concatenate([skips[i], z.astype(skips[i].dtype)], axis=-1)
+            z = ConvBlock(w[i], dtype=self.dtype, name=f"up{i}")(z)
+        z = nn.Conv(self.out_channels * r * r, (1, 1), dtype=self.dtype,
+                    name="outc")(z)
+        residual = depth_to_space(z.astype(jnp.float32), r)
+        return inp[..., : self.out_channels].astype(jnp.float32) + residual

@@ -86,18 +86,39 @@ def load_denoiser(path: str | Path | None = None,
             "scripts/train_denoiser.py or convert the reference checkpoint "
             "with tfpnp_tpu.utils.convert_torch")
     with open(path, "rb") as f:
-        params = pickle.load(f)
+        blob = pickle.load(f)
+    # tagged checkpoints carry the architecture ({"arch", "params"});
+    # legacy/converted pickles are bare reference-UNet param trees
+    if isinstance(blob, dict) and "arch" in blob and "params" in blob:
+        arch, params = blob["arch"], blob["params"]
+    else:
+        arch, params = "unet", blob
+    module = make_denoiser_module(arch)
     # keep params as host numpy: solver closures trace them as program
     # constants, and host arrays embed without a device round-trip
     import numpy as np
     return UNetDenoiser(params=jax.tree.map(np.asarray, params),
-                        compute_dtype=compute_dtype)
+                        module=module, compute_dtype=compute_dtype)
 
 
-def save_denoiser_params(params: Any, path: str | Path) -> None:
+def make_denoiser_module(arch: str = "unet"):
+    """Denoiser architecture registry: ``unet`` = the reference layout
+    (torch-checkpoint-compatible); ``s2d`` = the TPU-shaped
+    space-to-depth variant (models/unet.py UNetS2D)."""
+    from ..models.unet import UNetS2D
+    if arch == "unet":
+        return UNet(2, 1)
+    if arch == "s2d":
+        return UNetS2D(2, 1)
+    raise KeyError(f"unknown denoiser arch {arch!r}; have: unet, s2d")
+
+
+def save_denoiser_params(params: Any, path: str | Path,
+                         arch: str = "unet") -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     import numpy as np
     host = jax.tree.map(lambda a: np.asarray(a), params)
+    blob = host if arch == "unet" else {"arch": arch, "params": host}
     with open(path, "wb") as f:
-        pickle.dump(host, f)
+        pickle.dump(blob, f)

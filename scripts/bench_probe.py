@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--denoiser_ckpt", type=str, default=None,
+                    help="probe an alternate denoiser checkpoint "
+                         "(e.g. the s2d variant)")
     ap.add_argument("--levels", action="store_true",
                     help="also probe each UNet level's conv blocks and the "
                          "upsampling ops separately (where does the "
@@ -70,7 +73,7 @@ def main():
     from tfpnp_tpu.tasks import csmri
 
     b, n = args.batch, args.size
-    den_f32 = load_denoiser()
+    den_f32 = load_denoiser(args.denoiser_ckpt)
     den_bf16 = UNetDenoiser(params=den_f32.params, compute_dtype=jnp.bfloat16)
 
     x = jax.jit(lambda k: random_images(k, b, n))(jax.random.PRNGKey(0))

@@ -30,6 +30,9 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--policy", default="csmri_admm")
+    ap.add_argument("--ckpt", default=None,
+                    help="evaluate a raw checkpoint file instead of the "
+                         "shipped registry policy")
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--threshold", type=float, default=0.05,
                     help="remaining-gain threshold (= loop_penalty)")
@@ -55,7 +58,14 @@ def main():
     denoiser = load_denoiser()
     env, _, eval_sets, solver_name, _ = task.build(opt, denoiser)
     ranges, actor = actor_spec_for(solver_name, opt.action_pack)
-    variables = jax.tree.map(jnp.asarray, pretrained.load_policy(solver_name))
+    if args.ckpt:
+        from tfpnp_tpu.utils.checkpoint import load_state
+        state = load_state(args.ckpt)
+        variables = {"params": state["actor_params"],
+                     "batch_stats": state["actor_stats"]}
+    else:
+        variables = pretrained.load_policy(solver_name)
+    variables = jax.tree.map(jnp.asarray, variables)
 
     n_steps = env.max_episode_step
 
@@ -69,7 +79,7 @@ def main():
             action, _, entropy, _ = policy_apply(
                 actor, variables, obs, ranges, stochastic=False,
                 use_running_average=True)
-            p_stop = actor.apply(variables, obs, use_running_average=True)[0][:, 1]
+            p_stop = action["p_stop"]
             action = dict(action)
             action["idx_stop"] = jnp.zeros_like(action["idx_stop"])  # force run
             state, reward, _, _ = env.step(state, action, jax.random.PRNGKey(0))

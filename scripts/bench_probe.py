@@ -74,7 +74,8 @@ def main():
 
     b, n = args.batch, args.size
     den_f32 = load_denoiser(args.denoiser_ckpt)
-    den_bf16 = UNetDenoiser(params=den_f32.params, compute_dtype=jnp.bfloat16)
+    den_bf16 = UNetDenoiser(params=den_f32.params, module=den_f32.module,
+                            compute_dtype=jnp.bfloat16)
 
     x = jax.jit(lambda k: random_images(k, b, n))(jax.random.PRNGKey(0))
     sigma = jnp.full((b,), 10 / 255, jnp.float32)

@@ -368,9 +368,23 @@ class MDDPGTrainer:
                 # measured round 1/2: entropy -> 0.003, iters 6.0.
                 q_stop = reward
                 q_cont = cont_if_continue * v_next_t + reward
-                a2c = (action["p_stop"] * jax.lax.stop_gradient(q_stop - v_cur)
-                       + (1.0 - action["p_stop"])
-                       * jax.lax.stop_gradient(q_cont - v_cur))
+                # Soft-target cross-entropy form of the exact gradient:
+                # the entropy-regularized optimum of
+                #   p*A(stop) + (1-p)*A(cont) + lambda_e*H(p)
+                # is the Boltzmann policy t = sigmoid(-gamma*V(s')/
+                # lambda_e); training p_stop by BCE toward sg(t) has the
+                # SAME fixed point but a (t - p) logit gradient — the
+                # plain expected-advantage gradient scales with p(1-p)
+                # and a head saturated early (p ~ 1e-3 while the critic
+                # still reported positive continuation value everywhere)
+                # takes thousands of updates to escape (measured:
+                # p_stop_late pinned at 0.001 long after v_next_late
+                # reached ~0). Eval-argmax still flips exactly at
+                # V(s') = 0 — optimal stopping under the critic.
+                t_stop = jax.lax.stop_gradient(jax.nn.sigmoid(
+                    (q_stop - q_cont) / cfg.lambda_e))
+                p = jnp.clip(action["p_stop"], 1e-6, 1.0 - 1e-6)
+                a2c = t_stop * jnp.log(p) + (1.0 - t_stop) * jnp.log1p(-p)
                 # critic target: expected SARSA under the current policy
                 # (lower variance than the sampled-action target)
                 p_sg = jax.lax.stop_gradient(action["p_stop"])

@@ -27,7 +27,7 @@ PACK = 5
 STEPS = 6  # episode steps -> PACK*STEPS = 30 solver iterations per image
 
 
-def bench_tpu(precision: str = "f32"):
+def bench_tpu(precision: str = "f32", ckpt: str | None = None):
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -38,18 +38,18 @@ def bench_tpu(precision: str = "f32"):
     from tfpnp_tpu.data.synthetic import random_images
     from tfpnp_tpu.ops.metrics import psnr
     from tfpnp_tpu.pnp import get_solver, run_bundle
-    from tfpnp_tpu.pnp.denoiser import UNetDenoiser, init_denoiser_params
+    from tfpnp_tpu.pnp.denoiser import (UNetDenoiser, init_denoiser_params,
+                                        load_denoiser)
     from tfpnp_tpu.tasks import csmri
 
-    ckpt = Path("tfpnp_tpu/pretrained/unet_denoiser.pkl")
-    if ckpt.exists():
-        import pickle
-        with open(ckpt, "rb") as f:
-            uparams = pickle.load(f)
-    else:
-        uparams = init_denoiser_params(jax.random.PRNGKey(0), SIZE)
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    denoiser = UNetDenoiser(params=uparams, compute_dtype=dtype)
+    path = Path(ckpt) if ckpt else Path("tfpnp_tpu/pretrained/unet_denoiser.pkl")
+    if path.exists():
+        denoiser = load_denoiser(path, compute_dtype=dtype)  # arch-aware
+    else:
+        denoiser = UNetDenoiser(
+            params=init_denoiser_params(jax.random.PRNGKey(0), SIZE),
+            compute_dtype=dtype)
 
     solver = get_solver("csmri_admm", denoiser)
     masks = jnp.asarray(np.stack([csmri.radial_mask(SIZE, 4)]))
@@ -65,22 +65,30 @@ def bench_tpu(precision: str = "f32"):
              "mu": _np.full((BATCH, PACK * STEPS), 0.1, _np.float32)}
 
     @jax.jit
-    def episode(data):
-        state = solver.init(data)
-        state = run_bundle(solver, state, solver.filter_aux(data), hyper)
+    def episode(data, prev):
+        # chain each rep's input to the previous output: the tunneled
+        # remote executor elides IDENTICAL repeated programs, which
+        # inflated an earlier headline (CLAUDE.md rule 7a); the 1e-6
+        # perturbation is numerically immaterial but forces execution
+        d = {**data, "x0": data["x0"] + 1e-6 * prev.astype(jnp.complex64)}
+        state = solver.init(d)
+        state = run_bundle(solver, state, solver.filter_aux(d), hyper)
         out = solver.get_output(state)
         return out, psnr(out, data["gt"]).mean()
 
-    out, quality = episode(data)
+    prev = jnp.zeros((BATCH, SIZE, SIZE), jnp.float32)
+    out, quality = episode(data, prev)
     jax.block_until_ready(out)  # compile
     n_rep = 10
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        out, quality = episode(data)
-    jax.block_until_ready(out)
+        out, quality = episode(data, out)
+    # d2h scalar readback is the only reliable completion fence on the
+    # tunneled runtime (CLAUDE.md rule 7b)
+    q = float(quality)
     dt = (time.perf_counter() - t0) / n_rep
     its_per_s = BATCH * PACK * STEPS / dt
-    return its_per_s, float(quality)
+    return its_per_s, q
 
 
 def bench_torch_cpu():
@@ -156,14 +164,20 @@ def bench_torch_cpu():
 
 def main():
     tpu_its, q_f32 = bench_tpu("f32")
-    # bf16 convs (MXU-native) are adopted only if restoration quality holds
-    # to within 0.1 dB of f32 on the same inputs
-    try:
-        bf16_its, q_bf16 = bench_tpu("bf16")
-        if bf16_its > tpu_its and q_f32 - q_bf16 < 0.1:
-            tpu_its = bf16_its
-    except Exception:
-        pass
+    # faster candidates (MXU-native bf16 convs; the TPU-shaped s2d prior
+    # if trained) are adopted only if restoration quality holds to within
+    # 0.1 dB of the f32 reference-UNet on the same inputs
+    s2d = Path("tfpnp_tpu/pretrained/unet_s2d_denoiser.pkl")
+    candidates = [("bf16", None)]
+    if s2d.exists():
+        candidates += [("f32", str(s2d)), ("bf16", str(s2d))]
+    for prec, ck in candidates:
+        try:
+            its, q = bench_tpu(prec, ck)
+            if its > tpu_its and q_f32 - q < 0.1:
+                tpu_its = its
+        except Exception:
+            pass
     try:
         cpu_its = bench_torch_cpu()
     except Exception:

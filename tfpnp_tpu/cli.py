@@ -66,7 +66,8 @@ def main(argv=None):
     save_dir = (f"{opt.output}/eval_results"
                 if jax.process_index() == 0 else None)
     evaluator = Evaluator(env, actor, ranges, eval_sets,
-                          save_dir=save_dir, logger=logger)
+                          save_dir=save_dir, logger=logger,
+                          loop_penalty=opt.loop_penalty)
 
     if opt.eval:
         if opt.resume:
@@ -111,6 +112,11 @@ def main(argv=None):
                            place_params=partial(replicate, mesh) if multi else (lambda x: x))
     if opt.resume:
         trainer.load(opt.resume)
+        if opt.reset_best:
+            # the best.pkl selection score restarts from scratch — used
+            # when the selection criterion changed (e.g. penalty-aware
+            # scoring) and the stored best_eval is on the old scale
+            trainer.best_eval = float("-inf")
     if opt.profile:
         from .utils.profiling import trace
         with trace(f"{opt.output}/trace"):

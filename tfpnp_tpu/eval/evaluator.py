@@ -36,17 +36,25 @@ class Evaluator:
       action_ranges: per-key (scale, shift).
       eval_sets: name -> data dict (full batch; fixed across calls).
       save_dir:  artifact directory (None = metrics only).
+      loop_penalty: if > 0, ``eval``'s model-selection score is the RL
+        objective PSNR - loop_penalty * iters instead of raw PSNR.
+        Raw-PSNR selection is biased toward checkpoints whose stop head
+        happens to run all ``max_episode_step`` steps, throwing away the
+        learned early stopping that training paid for (the stopping
+        boundary sits at V(s') ~ 0, so eval iters oscillates between
+        adjacent checkpoints).
     """
 
     def __init__(self, env: PnPEnv, actor: ResNetActor, action_ranges,
                  eval_sets: Dict[str, dict], save_dir: Optional[str] = None,
-                 logger: Optional[Logger] = None):
+                 logger: Optional[Logger] = None, loop_penalty: float = 0.0):
         self.env = env
         self.actor = actor
         self.action_ranges = dict(action_ranges)
         self.eval_sets = eval_sets
         self.save_dir = Path(save_dir) if save_dir else None
         self.logger = logger or Logger(save_dir or "logs/eval")
+        self.loop_penalty = float(loop_penalty)
         self._episode = jax.jit(self._episode_impl)
 
     def _episode_impl(self, actor_variables, data):
@@ -129,7 +137,7 @@ class Evaluator:
                    f"psnr_init: {psnr0.mean():.2f} | psnr: {psnr_f.mean():.2f} | "
                    f"acc_reward: {acc_reward:.2f} | time: {run_time / b:.3f}s/img")
             self.logger.log(msg, color=COLOR.RED)
-            total += float(psnr_f.mean())
+            total += float(psnr_f.mean()) - self.loop_penalty * float(iters.mean())
 
             if self.save_dir is not None:
                 self._save_artifacts(name, step, data, output, psnr_seq,

@@ -56,6 +56,9 @@ class Options:
         p.add_argument("--no_terminal_mask", action="store_true",
                        help="bootstrap V past the episode cap like the "
                             "reference (trainer.py:182-185)")
+        p.add_argument("--reset_best", action="store_true",
+                       help="on --resume, restart best-checkpoint selection "
+                            "(use when the eval score semantics changed)")
         p.add_argument("--keep_ckpts", type=int, default=3,
                        help="periodic step checkpoints kept on disk "
                             "(they carry the replay ring)")

@@ -69,16 +69,28 @@ def run_watched(cmd, log_file, stall_timeout: float) -> int:
 
 
 def run_job(spec: str, ship: bool = False,
-            stall_timeout: float = 2400.0) -> bool:
+            stall_timeout: float = 2400.0, warm: bool = False,
+            denoiser_ckpt: str = None, exp_suffix: str = "") -> bool:
     parts = spec.split(":")
     task, solver = parts[0], parts[1]
     scale = parts[2] if len(parts) > 2 and parts[2] else None
     steps = parts[3] if len(parts) > 3 else "2400"
-    exp = f"{task}{scale if task == 'sr' and scale else ''}_{solver}_5x6_48"
+    # SPI follows the reference's 1-action-pack, 10-step protocol
+    # (tasks/spi/script.sh); everything else is 5x6
+    pack, ep = ("1", "10") if task == "spi" else ("5", "6")
+    exp = (f"{task}{scale if task == 'sr' and scale else ''}"
+           f"_{solver}_{pack}x{ep}_48{exp_suffix}")
     cmd = [sys.executable, "-m", "tfpnp_tpu", "--task", task,
            "--solver", solver, "--exp", exp, "--train_steps", steps] + COMMON
+    cmd += ["--action_pack", pack, "--max_episode_step", ep]
     if task == "sr" and scale:
         cmd += ["--scale", scale]
+    if warm:
+        # warm-start the actor from the currently shipped policy: quality
+        # is already converged, so the run only has to learn stopping
+        cmd += ["--init_actor", "auto"]
+    if denoiser_ckpt:
+        cmd += ["--denoiser_ckpt", denoiser_ckpt]
     log_file = ROOT / "logs" / exp / "log.txt"
     for attempt in (1, 2, 3):
         resume = newest_checkpoint(exp) if attempt > 1 else None
@@ -95,7 +107,7 @@ def run_job(spec: str, ship: bool = False,
                     # x2 is the plain sr family, x3/x4 are suffixed
                     fam = task if not (task == "sr" and scale
                                        and scale != "2") else f"sr{scale}"
-                    name = f"{fam}_{solver}_5x6"
+                    name = f"{fam}_{solver}_{pack}x{ep}"
                     subprocess.run(
                         [sys.executable, "scripts/ship_policy.py",
                          str(best), name], cwd=ROOT)
@@ -117,9 +129,21 @@ def main():
     ap.add_argument("--stall_timeout", type=float, default=2400.0,
                     help="seconds of log silence before a run counts as "
                          "hung (tunnel stalls of ~20 min self-recover)")
+    ap.add_argument("--warm", action="store_true",
+                    help="warm-start each actor from its shipped policy "
+                         "(--init_actor auto): stop-head retrains need a "
+                         "fraction of the from-scratch steps")
+    ap.add_argument("--denoiser_ckpt", type=str, default=None,
+                    help="prior checkpoint for training (e.g. the "
+                         "TPU-shaped s2d denoiser)")
+    ap.add_argument("--exp_suffix", type=str, default="",
+                    help="log-dir suffix so retrains never collide with "
+                         "(or crash-resume from) a previous era's ckpts")
     args = ap.parse_args()
     for spec in args.jobs:
-        run_job(spec, ship=args.ship, stall_timeout=args.stall_timeout)
+        run_job(spec, ship=args.ship, stall_timeout=args.stall_timeout,
+                warm=args.warm, denoiser_ckpt=args.denoiser_ckpt,
+                exp_suffix=args.exp_suffix)
     if args.bench:
         subprocess.run([sys.executable, "bench.py"], cwd=ROOT)
     print("=== queue complete ===", flush=True)

@@ -41,6 +41,21 @@ class TestEvaluator:
         assert "sigma_d" in seqs and len(seqs["sigma_d"]) == 8  # pack*steps
         assert (case / "action_sigma_d.png").exists()  # ref evaluator.py:58-63
 
+    def test_penalized_selection_score(self, tmp_path):
+        """eval()'s model-selection score is PSNR - loop_penalty * iters
+        (the RL objective); with penalty 0 it degenerates to raw PSNR
+        (advisor r2: the selection criterion needed test coverage)."""
+        from tfpnp_tpu.eval.evaluator import Evaluator
+        ev, avars = _setup(tmp_path)
+        raw = ev.eval(avars, step=0)
+        m = ev.run_set(avars, ev.eval_sets["setA"])
+        np.testing.assert_allclose(raw, m["psnr"], rtol=1e-5)
+        ev_pen = Evaluator(ev.env, ev.actor, ev.action_ranges, ev.eval_sets,
+                           save_dir=None, loop_penalty=0.05)
+        pen = ev_pen.eval(avars, step=0)
+        np.testing.assert_allclose(pen, m["psnr"] - 0.05 * m["iters"],
+                                   rtol=1e-5)
+
     def test_early_exit_iters_bounded(self, tmp_path):
         ev, avars = _setup(tmp_path)
         out = jax.device_get(

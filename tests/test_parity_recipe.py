@@ -118,6 +118,7 @@ class TestMedical7MatRecipe:
         --eval_data -> per-set PSNR: the one-command parity pipeline."""
         from scipy.io import savemat
 
+        from tfpnp_tpu.data.synthetic import random_images
         from tfpnp_tpu.ops.fft import fft2c, ifft2c
 
         n = 32
@@ -127,8 +128,15 @@ class TestMedical7MatRecipe:
         mask = np.zeros((n, n), bool)
         mask[:, ::3] = True
         mask[:, n // 2 - 3:n // 2 + 3] = True
+        # Natural-ish stand-in images (the procedural corpus: smooth
+        # regions + edges + texture), NOT uniform noise: Medical7 holds
+        # anatomy, and a learned stop head extrapolates badly on pure
+        # noise (it confidently stopped at a PSNR loss — RESULTS.md
+        # "Off-distribution stopping"), which is out of scope for a
+        # pipeline-format test.
+        gts = np.asarray(random_images(jax.random.PRNGKey(3), 2, n))
         for i in range(2):
-            gt = rng.rand(n, n).astype(np.float32)
+            gt = gts[i].astype(np.float32)
             y = np.asarray(fft2c(jnp.asarray(gt)[None].astype(jnp.complex64)))[0]
             y0 = np.where(mask, y + 0.06 * (rng.randn(n, n)
                                             + 1j * rng.randn(n, n)), 0)

@@ -76,6 +76,65 @@ class TestTrainerEndToEnd:
             np.testing.assert_allclose(a, b)
 
 
+class TestWarmStart:
+    def _tiny_trainer(self, tmp_path, loop_penalty=0.05):
+        cfg = TrainConfig(train_steps=4, env_batch=4, max_episode_step=2,
+                          action_pack=2, rmsize=8, warmup=0,
+                          episode_train_times=1, validate_interval=1000,
+                          save_freq=10_000, seed=0, loop_penalty=loop_penalty)
+        solver = get_solver("csmri_admm", TVDenoiser(n_iter=5))
+        env = PnPEnv(solver, csmri.pack_obs, max_episode_step=cfg.max_episode_step)
+        masks = jnp.asarray(np.stack([csmri.radial_mask(N, 4)]))
+
+        def sample_data(key):
+            k1, k2 = jax.random.split(key)
+            return csmri.make_data(k2, random_images(k1, cfg.env_batch, N), masks)
+
+        ranges, actor = actor_spec_for("csmri_admm", cfg.action_pack)
+        return MDDPGTrainer(cfg, env, actor, ranges, sample_data,
+                            lr_schedule=lambda s: {"actor": 1e-3, "critic": 3e-4},
+                            log_dir=str(tmp_path))
+
+    def test_warm_start_replaces_actor_only(self, tmp_path):
+        trainer = self._tiny_trainer(tmp_path)
+        donor = jax.tree.map(lambda p: jnp.asarray(p) + 1.0,
+                             jax.device_get(trainer.actor_params))
+        critic_before = jax.device_get(trainer.critic_params)
+        trainer.warm_start_actor({"params": donor,
+                                  "batch_stats": trainer.actor_stats})
+        for a, b in zip(jax.tree.leaves(jax.device_get(trainer.actor_params)),
+                        jax.tree.leaves(donor)):
+            np.testing.assert_allclose(a, np.asarray(b))
+        # critic, step and best-eval stay fresh
+        for a, b in zip(jax.tree.leaves(jax.device_get(trainer.critic_params)),
+                        jax.tree.leaves(critic_before)):
+            np.testing.assert_allclose(a, b)
+        assert trainer.start_step == 1
+        assert trainer.best_eval == -np.inf
+        # the warm-started trainer still trains
+        trainer.train()
+        assert all(np.all(np.isfinite(np.asarray(l)))
+                   for l in jax.tree.leaves(trainer.actor_params))
+
+    def test_resume_resets_best_on_loop_penalty_change(self, tmp_path):
+        """A checkpoint written under a different loop_penalty carries a
+        best_eval on a different score scale; resuming must restart
+        selection instead of silently never updating best.pkl
+        (advisor r2)."""
+        trainer = self._tiny_trainer(tmp_path, loop_penalty=0.05)
+        trainer.best_eval = 30.0
+        ckpt = tmp_path / "ckpt" / "lp.pkl"
+        trainer.save(ckpt, step=3)
+
+        same = self._tiny_trainer(tmp_path / "same", loop_penalty=0.05)
+        same.load(ckpt)
+        assert same.best_eval == 30.0  # unchanged criterion: best kept
+
+        changed = self._tiny_trainer(tmp_path / "chg", loop_penalty=0.0)
+        changed.load(ckpt)
+        assert changed.best_eval == -np.inf  # changed criterion: reset
+
+
 class TestFusedUpdates:
     def test_update_many_matches_sequential(self, tmp_path):
         """The fused scan (_update_many, used on a single real chip) must

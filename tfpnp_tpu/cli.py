@@ -117,6 +117,27 @@ def main(argv=None):
             # when the selection criterion changed (e.g. penalty-aware
             # scoring) and the stored best_eval is on the old scale
             trainer.best_eval = float("-inf")
+    elif opt.reset_best:
+        logger.log("WARNING: --reset_best has no effect without --resume "
+                   "(best-checkpoint selection already starts fresh)")
+    if opt.init_actor and not opt.resume:
+        import pickle
+
+        from . import pretrained
+        spec = solver_name if opt.init_actor == "auto" else opt.init_actor
+        if Path(spec).exists():  # a shipped-actor pickle file
+            with open(spec, "rb") as f:
+                state = pickle.load(f)
+            variables = {"params": state["actor_params"],
+                         "batch_stats": state["actor_stats"]}
+        else:  # a registry solver name
+            variables = pretrained.load_policy(spec)
+        trainer.warm_start_actor(variables)
+        logger.log(f"warm-started actor from {spec} "
+                   f"(critic/optimizers/step fresh)")
+    elif opt.init_actor:
+        logger.log("WARNING: --init_actor ignored because --resume restores "
+                   "the full training state")
     if opt.profile:
         from .utils.profiling import trace
         with trace(f"{opt.output}/trace"):

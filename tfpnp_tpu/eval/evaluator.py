@@ -36,13 +36,14 @@ class Evaluator:
       action_ranges: per-key (scale, shift).
       eval_sets: name -> data dict (full batch; fixed across calls).
       save_dir:  artifact directory (None = metrics only).
-      loop_penalty: if > 0, ``eval``'s model-selection score is the RL
-        objective PSNR - loop_penalty * iters instead of raw PSNR.
-        Raw-PSNR selection is biased toward checkpoints whose stop head
-        happens to run all ``max_episode_step`` steps, throwing away the
-        learned early stopping that training paid for (the stopping
-        boundary sits at V(s') ~ 0, so eval iters oscillates between
-        adjacent checkpoints).
+      loop_penalty: ``eval``'s model-selection score is the RL objective
+        PSNR - loop_penalty * iters (the CLI default is 0.05, so the
+        penalty is ON in every normal run; pass 0 for raw-PSNR
+        selection). Raw-PSNR selection is biased toward checkpoints
+        whose stop head happens to run all ``max_episode_step`` steps,
+        throwing away the learned early stopping that training paid for
+        (the stopping boundary sits at V(s') ~ 0, so eval iters
+        oscillates between adjacent checkpoints).
     """
 
     def __init__(self, env: PnPEnv, actor: ResNetActor, action_ranges,
@@ -133,11 +134,19 @@ class Evaluator:
             b = psnr0.shape[0]
             # accumulated reward = total delta-PSNR (reference logs acc_reward)
             acc_reward = float(np.mean(psnr_f - psnr0))
+            score = (float(psnr_f.mean())
+                     - self.loop_penalty * float(iters.mean()))
+            # the selection score is logged so which checkpoint wins
+            # best.pkl is visible in the run log (advisor r2)
             msg = (f"Step_{step:07d}: {name} | iters: {iters.mean():.2f} | "
                    f"psnr_init: {psnr0.mean():.2f} | psnr: {psnr_f.mean():.2f} | "
-                   f"acc_reward: {acc_reward:.2f} | time: {run_time / b:.3f}s/img")
+                   f"acc_reward: {acc_reward:.2f} | score: {score:.2f} | "
+                   f"time: {run_time / b:.3f}s/img")
             self.logger.log(msg, color=COLOR.RED)
-            total += float(psnr_f.mean()) - self.loop_penalty * float(iters.mean())
+            self.logger.scalars(step, {f"eval/{name}/psnr": float(psnr_f.mean()),
+                                       f"eval/{name}/iters": float(iters.mean()),
+                                       f"eval/{name}/score": score})
+            total += score
 
             if self.save_dir is not None:
                 self._save_artifacts(name, step, data, output, psnr_seq,

@@ -624,6 +624,26 @@ class MDDPGTrainer:
     def actor_variables(self):
         return {"params": self.actor_params, "batch_stats": self.actor_stats}
 
+    def warm_start_actor(self, variables):
+        """Initialize ONLY the actor from shipped policy variables
+        (pretrained.load_policy format). The critic, both optimizer
+        states, RNG and the step counter stay fresh — this transfers a
+        converged restoration policy onto new trainer machinery (the
+        stop-head retrains) so only the stopping behavior has to be
+        learned, at a fraction of the from-scratch step budget."""
+        ours = jax.tree.map(lambda a: a.shape, self.actor_params)
+        theirs = jax.tree.map(lambda a: np.asarray(a).shape,
+                              variables["params"])
+        if ours != theirs:
+            raise ValueError(
+                "warm-start actor shapes do not match this configuration "
+                "(action_pack / solver action space / observation channels "
+                "must equal the donor policy's)")
+        to_dev = lambda tree: self.place_params(jax.tree.map(jnp.asarray, tree))
+        self.actor_params = to_dev(variables["params"])
+        self.actor_stats = to_dev(variables.get("batch_stats", {}))
+        self.actor_opt = self.place_params(self.tx.init(self.actor_params))
+
     @property
     def ckpt_ext(self) -> str:
         return ".pkl" if self.cfg.ckpt_backend == "pickle" else ".orbax"
@@ -641,6 +661,10 @@ class MDDPGTrainer:
             "critic_opt": self.critic_opt,
             "key": self.key,
             "np_rng": self.rng.bit_generator.state,
+            # best_eval is on the penalized score scale PSNR - lp*iters;
+            # persisting lp lets a resume detect a changed selection
+            # criterion instead of silently never updating best.pkl
+            "loop_penalty": float(self.cfg.loop_penalty),
         }
         if include_replay:
             # device -> host dump of the experience ring: a resumed run
@@ -697,6 +721,18 @@ class MDDPGTrainer:
         # round-1 checkpoints predate these keys; default to legacy behavior
         self.episode = int(state.get("episode", 0))
         self.best_eval = float(state.get("best_eval", -np.inf))
+        ckpt_lp = state.get("loop_penalty")
+        if (np.isfinite(self.best_eval)
+                and (ckpt_lp is None
+                     or abs(float(ckpt_lp) - self.cfg.loop_penalty) > 1e-9)):
+            # the stored best_eval is on a different PSNR - lp*iters scale
+            # (older checkpoint or changed -lp): keeping it could freeze
+            # best.pkl forever, so selection restarts (advisor r2)
+            self.logger.log(
+                f"resume: checkpoint loop_penalty={ckpt_lp} != "
+                f"{self.cfg.loop_penalty}; best-checkpoint selection reset "
+                f"(stored best_eval {self.best_eval:.2f} dropped)")
+            self.best_eval = -np.inf
         if state.get("replay") is not None:
             self.buffer.load_state_dict(state["replay"])
         self.logger.log(

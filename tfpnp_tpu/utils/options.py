@@ -36,6 +36,14 @@ class Options:
         p.add_argument("--episode_train_times", default=10, type=int)
         p.add_argument("--resume", "-r", default=None, type=str)
         p.add_argument("--resume_step", "-rs", default=None, type=int)
+        p.add_argument("--init_actor", default=None, type=str,
+                       help="warm-start ONLY the actor from a shipped policy "
+                            "('auto' = this solver's registry entry, or a "
+                            "registry name / actor-pickle path); critic, "
+                            "optimizers and step start fresh. Used to "
+                            "transfer a converged policy onto new trainer "
+                            "machinery (e.g. the stop-head retrains) at a "
+                            "fraction of from-scratch steps")
         p.add_argument("--eval", action="store_true")
         p.add_argument("--seed", default=1234, type=int)
         p.add_argument("--loop_penalty", "-lp", type=float, default=0.05)

@@ -26,6 +26,13 @@ def main():
     ap.add_argument("--only", type=str, default=None,
                     help="substring filter on policy filename")
     ap.add_argument("--out", type=str, default="logs/eval_policies")
+    ap.add_argument("--denoiser_ckpt", type=str, default=None,
+                    help="prior checkpoint (e.g. the TPU-shaped s2d "
+                         "denoiser bench.py adopts)")
+    ap.add_argument("--full_grid", action="store_true",
+                    help="evaluate the full --eval grid (all noise "
+                         "levels + the natural anchor sets) instead of "
+                         "the training-validation subset")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +48,7 @@ def main():
     from tfpnp_tpu.utils.log import Logger
     from tfpnp_tpu.utils.options import Options
 
-    denoiser = load_denoiser()
+    denoiser = load_denoiser(args.denoiser_ckpt)
     logger = Logger(args.out)
     rows = []
     for name in pretrained.available_policies():
@@ -60,7 +67,8 @@ def main():
             ["--task", task_name, "--solver", solver, "--exp", f"evalall_{raw_task}_{solver}",
              "--log_root", args.out, "--action_pack", str(pack),
              "--max_episode_step", str(steps), "--image_size", str(args.image_size),
-             "--mesh_dp", "1"] + extra)
+             "--mesh_dp", "1"] + extra
+            + (["--eval"] if args.full_grid else []))
         task = importlib.import_module(f"tfpnp_tpu.tasks.{task_name}")
         env, _, eval_sets, solver_name, _ = task.build(opt, denoiser)
         ranges, actor = actor_spec_for(solver_name, pack)

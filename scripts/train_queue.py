@@ -87,8 +87,10 @@ def run_job(spec: str, ship: bool = False,
         cmd += ["--scale", scale]
     if warm:
         # warm-start the actor from the currently shipped policy: quality
-        # is already converged, so the run only has to learn stopping
-        cmd += ["--init_actor", "auto"]
+        # is already converged, so the run only has to learn stopping.
+        # 100 critic-only episodes first — a fresh critic's V-gradients
+        # otherwise degrade the donor ~1.5 dB before converging
+        cmd += ["--init_actor", "auto", "--actor_warmup", "100"]
     if denoiser_ckpt:
         cmd += ["--denoiser_ckpt", denoiser_ckpt]
     log_file = ROOT / "logs" / exp / "log.txt"

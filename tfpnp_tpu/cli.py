@@ -92,7 +92,8 @@ def main(argv=None):
     cfg = TrainConfig(
         train_steps=opt.train_steps, env_batch=opt.env_batch,
         max_episode_step=opt.max_episode_step, action_pack=opt.action_pack,
-        rmsize=opt.rmsize, warmup=opt.warmup, discount=opt.discount,
+        rmsize=opt.rmsize, warmup=opt.warmup, actor_warmup=opt.actor_warmup,
+        discount=opt.discount,
         tau=opt.tau, loop_penalty=opt.loop_penalty, lambda_e=opt.lambda_e,
         episode_train_times=opt.episode_train_times,
         validate_interval=opt.validate_interval, save_freq=opt.save_freq,
@@ -109,7 +110,8 @@ def main(argv=None):
                            evaluator=evaluator, log_dir=opt.output,
                            logger=logger, shard_batch=shard,
                            assemble_batch=local_assembler(mesh) if multi else None,
-                           place_params=partial(replicate, mesh) if multi else (lambda x: x))
+                           place_params=partial(replicate, mesh) if multi else (lambda x: x),
+                           mesh=mesh)
     if opt.resume:
         trainer.load(opt.resume)
         if opt.reset_best:

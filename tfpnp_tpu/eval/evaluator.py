@@ -57,6 +57,7 @@ class Evaluator:
         self.logger = logger or Logger(save_dir or "logs/eval")
         self.loop_penalty = float(loop_penalty)
         self._episode = jax.jit(self._episode_impl)
+        self._exe_cache: Dict[str, object] = {}
 
     def _episode_impl(self, actor_variables, data):
         """Greedy episode as a ``lax.while_loop`` with early exit: once every
@@ -124,12 +125,30 @@ class Evaluator:
                 "psnr": float(np.asarray(psnr_f).mean()),
                 "iters": float(np.asarray(iters).mean())}
 
+    def _episode_fn(self, actor_variables, data):
+        """The greedy episode, compiled ahead of the timed call: the
+        logged ``time:`` metric must measure execution, not the first
+        set's multi-second XLA compile (round-2 weak #7 — the exact
+        compile/execute mixing CLAUDE.md rule 7 documents for benches).
+        One executable per (variables, data) shape signature is cached."""
+        key = str(jax.tree.map(lambda a: (tuple(a.shape), str(a.dtype)),
+                               (actor_variables, data)))
+        exe = self._exe_cache.get(key)
+        if exe is None:
+            try:
+                exe = self._episode.lower(actor_variables, data).compile()
+            except Exception:  # AOT unsupported for this input placement
+                exe = self._episode
+            self._exe_cache[key] = exe
+        return exe
+
     def eval(self, actor_variables, step: int) -> float:
         total = 0.0
         for name, data in self.eval_sets.items():
+            episode = self._episode_fn(actor_variables, data)  # untimed compile
             t0 = time.time()
             (psnr0, psnr_f, iters, psnr_seq, actions, output, alive) = \
-                jax.device_get(self._episode(actor_variables, data))
+                jax.device_get(episode(actor_variables, data))
             run_time = time.time() - t0
             b = psnr0.shape[0]
             # accumulated reward = total delta-PSNR (reference logs acc_reward)

@@ -132,6 +132,17 @@ def build(opt, denoiser):
                 jax.random.fold_in(k_img, 100 * i + int(s)), gt,
                 masks[i:i + 1], s)
 
+    if getattr(opt, "eval", False):
+        # held-out NATURAL anchor (bundled photo/MRI/DEM images): the
+        # procedural corpus is piecewise-smooth and can flatter the
+        # prior; the reference evaluates natural/medical sets
+        # (tasks/csmri/main.py:22-44). Canonical config: x4 mask, s15.
+        from ..data.natural import available, natural_images
+        if available():
+            nat = jnp.asarray(natural_images(7, n))
+            eval_sets["natural_4_15"] = mk_eval(
+                jax.random.fold_in(k_img, 999), nat, masks[1:2], 15.0)
+
     def lr_schedule(step):  # tasks/csmri/main.py:53-57
         if step < 10000:
             return {"critic": 3e-4, "actor": 1e-3}

@@ -88,6 +88,16 @@ def build(opt, denoiser):
             lambda kk, g, s=s: make_data(kk, g, radon, sigma_ns=(s,)))(
                 jax.random.fold_in(k_img, 1 + i), gt)
 
+    if getattr(opt, "eval", False):
+        # held-out natural anchor (see tasks/csmri.py); 7.5% noise
+        from ..data.natural import available, natural_images
+        if available():
+            nat = jnp.asarray(natural_images(7, n))
+            eval_sets["natural_7.5"] = jax.jit(
+                lambda kk, g: make_data(kk, g, radon,
+                                        sigma_ns=(sigma_ns[1],)))(
+                    jax.random.fold_in(k_img, 999), nat)
+
     def lr_schedule(step):  # tasks/ct/main.py:75-79
         if step < 10000:
             return {"critic": 1e-4, "actor": 5e-5}

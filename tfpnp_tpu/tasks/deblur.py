@@ -147,6 +147,15 @@ def build(opt, denoiser):
             eval_sets[f"deblur_{fam}_{s:g}"] = mk_eval(
                 jax.random.fold_in(k_img, 100 * i + int(s)), gt, ks, s)
 
+    if getattr(opt, "eval", False):
+        # held-out natural anchor (see tasks/csmri.py); gaussian s7.65
+        from ..data.natural import available, natural_images
+        if available():
+            nat = jnp.asarray(natural_images(7, n))
+            eval_sets["natural_gaussian_7.65"] = mk_eval(
+                jax.random.fold_in(k_img, 999), nat,
+                families["gaussian"], 7.65)
+
     def lr_schedule(step):  # same ladder as CS-MRI (tasks/csmri/main.py:53-57)
         if step < 10000:
             return {"critic": 3e-4, "actor": 1e-3}

@@ -111,6 +111,20 @@ def build(opt, denoiser):
         eval_sets[f"alpha_{int(alpha)}"] = _make(
             jax.random.fold_in(k_img, 1 + i), gt, a=float(alpha))
 
+    if getattr(opt, "eval", False):
+        # held-out natural anchor (see tasks/csmri.py); alpha 27
+        from ..data.natural import available, natural_images
+        if available():
+            nat = jnp.asarray(natural_images(12, n))
+
+            @partial(jax.jit, static_argnames="a")
+            def _make_nat(kk, g, a):
+                mask = jnp.exp(1j * phase.astype(jnp.complex64))
+                return make_data(kk, g, mask, alphas=(a,))
+
+            eval_sets["natural_27"] = _make_nat(
+                jax.random.fold_in(k_img, 999), nat, a=27.0)
+
     def lr_schedule(step):  # tasks/pr/main.py:75-79
         if step < 10000:
             return {"critic": 1e-4, "actor": 5e-5}

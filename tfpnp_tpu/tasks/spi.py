@@ -81,6 +81,15 @@ def build(opt, denoiser):
             lambda kk, g, K=K: make_data(kk, g, K=K))(
                 jax.random.fold_in(k_img, 1 + i), gt)
 
+    if getattr(opt, "eval", False):
+        # held-out natural anchor (see tasks/csmri.py); K = 8
+        from ..data.natural import available, natural_images
+        if available():
+            nat = jnp.asarray(natural_images(13, n))
+            eval_sets["natural_x8"] = jax.jit(
+                lambda kk, g: make_data(kk, g, K=8))(
+                    jax.random.fold_in(k_img, 999), nat)
+
     def lr_schedule(step):  # tasks/spi/main.py:71-75
         if step < 10000:
             return {"critic": 1e-4, "actor": 5e-5}

@@ -25,6 +25,11 @@ class Options:
         p.add_argument("--exp", default="csmri_admm_5x6_48", type=str)
         p.add_argument("--warmup", default=20, type=int,
                        help="episodes that only fill the replay memory")
+        p.add_argument("--actor_warmup", default=0, type=int,
+                       help="episodes after warmup trained critic-only "
+                            "(actor lr 0); pairs with --init_actor so the "
+                            "fresh critic converges before the donor "
+                            "policy is touched")
         p.add_argument("--discount", default=0.99, type=float)
         p.add_argument("--rmsize", default=480, type=int)
         p.add_argument("--env_batch", default=48, type=int)

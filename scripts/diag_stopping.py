@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--threshold", type=float, default=0.05,
                     help="remaining-gain threshold (= loop_penalty)")
+    ap.add_argument("--gt", default="procedural",
+                    choices=["procedural", "noise", "natural"],
+                    help="eval gt source: the training-distribution "
+                         "procedural corpus, OUT-OF-DISTRIBUTION uniform "
+                         "noise (the stop head's known failure mode), or "
+                         "the bundled natural anchors")
     args = ap.parse_args()
 
     import importlib
@@ -57,6 +63,25 @@ def main():
     task = importlib.import_module(f"tfpnp_tpu.tasks.{task_name}")
     denoiser = load_denoiser()
     env, _, eval_sets, solver_name, _ = task.build(opt, denoiser)
+    if args.gt != "procedural":
+        # out-of-corpus probe (csmri protocol): same masks/sigma, gt
+        # swapped for uniform noise / natural anchors — characterizes the
+        # stop head's off-distribution behavior (RESULTS.md
+        # "Off-distribution stopping")
+        assert task_name == "csmri", "--gt override is a csmri-only probe"
+        n = args.size
+        if args.gt == "noise":
+            gt = jax.random.uniform(jax.random.PRNGKey(42), (7, n, n))
+        else:
+            from tfpnp_tpu.data.natural import natural_images
+            gt = jnp.asarray(natural_images(7, n))
+        from tfpnp_tpu.tasks.csmri import make_data, radial_mask
+        masks = jnp.asarray(np.stack([radial_mask(n, a) for a in (2, 4, 8)]))
+        mk = jax.jit(lambda k, g, m: make_data(k, g, m, sigma_list=(15.0,)))
+        eval_sets = {
+            f"{args.gt}_radial_{n}_{a}_15": mk(
+                jax.random.PRNGKey(50 + i), gt, masks[i:i + 1])
+            for i, a in enumerate((2, 4, 8))}
     ranges, actor = actor_spec_for(solver_name, opt.action_pack)
     if args.ckpt:
         from tfpnp_tpu.utils.checkpoint import load_state

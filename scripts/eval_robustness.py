@@ -33,6 +33,11 @@ def main():
                     default=[-0.2, -0.1, -0.05, 0.0, 0.05, 0.1, 0.2])
     ap.add_argument("--tpu", action="store_true",
                     help="run on the tunneled TPU (needs the chip free)")
+    ap.add_argument("--blind", action="store_true",
+                    help="also run BLIND kernel estimation: the width is "
+                         "estimated from the measurements alone "
+                         "(pnp/blind.py spectral estimator calibrated on "
+                         "a disjoint corpus draw) instead of assumed")
     ap.add_argument("--out", type=str, default="logs/robustness")
     args = ap.parse_args()
 
@@ -106,13 +111,39 @@ def main():
             all_rows.append(row)
             print(json.dumps(row), flush=True)
 
+        if args.blind:
+            # fully blind: width estimated from the measurements alone.
+            # For SR the estimator sees the LR observation; its spectrum
+            # is the aliased decimation — estimate from the deblur-domain
+            # statistics is out of scope, so blind mode covers deblur
+            # (the task whose kernel is the dominant unknown).
+            if task_name == "deblur":
+                from tfpnp_tpu.pnp.blind import estimate_gaussian_width
+                ref = np.asarray(random_images(jax.random.PRNGKey(999),
+                                               64, n))
+                w_hat = estimate_gaussian_width(
+                    np.asarray(data["y0"]), 7.65 / 255, ref_images=ref)
+                k_blind = jnp.asarray(
+                    deblur.gaussian_kernel(float(w_hat))[None])
+                kf_blind = jax.jit(lambda ks: jnp.broadcast_to(
+                    deblur.psf2otf(ks, n)[0], data["kf"].shape))(k_blind)
+                r = ev.run_set(variables, {**data, "kf": kf_blind})
+                row = {"task": task_name, "eps": "blind",
+                       "w_hat": round(float(w_hat), 3),
+                       "w_err": round(float(w_hat) / SIGMA_TRUE - 1.0, 3),
+                       **{k: round(v, 2) for k, v in r.items()}}
+                all_rows.append(row)
+                print(json.dumps(row), flush=True)
+
         logger.log(f"## {solver_name} kernel-width mismatch "
                    f"(sigma_true={SIGMA_TRUE}, {n}^2)")
         logger.log("| eps | psnr_init | psnr | delta vs matched | iters |")
         logger.log("|---|---|---|---|---|")
         for row in [r for r in all_rows if r["task"] == task_name]:
             d = row["psnr"] - (base_psnr or row["psnr"])
-            logger.log(f"| {row['eps']:+.0%} | {row['psnr_init']} | "
+            eps_lbl = (f"{row['eps']:+.0%}" if isinstance(row["eps"], float)
+                       else f"blind (w_hat {row.get('w_hat')})")
+            logger.log(f"| {eps_lbl} | {row['psnr_init']} | "
                        f"{row['psnr']} | {d:+.2f} | {row['iters']} |")
 
     with open(Path(args.out) / "robustness.json", "w") as f:

@@ -203,3 +203,45 @@ class TestEnvAndData:
               "--validate_interval", "1000000", "--save_freq", "1000000",
               "--image_size", "32", "--mesh_dp", "1"])
         assert (tmp_path / "t" / "ckpt" / "final.pkl").exists()
+
+
+class TestBlindKernelEstimation:
+    def test_calibrated_width_estimate_within_tolerance(self):
+        """The blind spectral estimator (pnp/blind.py) must land within
+        the +-20% band where the shipped policies degrade gracefully
+        (RESULTS.md robustness table), across the isotropic bank."""
+        import numpy as np
+
+        from tfpnp_tpu.data.synthetic import random_images
+        from tfpnp_tpu.pnp.blind import estimate_gaussian_width
+        from tfpnp_tpu.tasks import deblur as db
+
+        n = 64
+        ref = np.asarray(random_images(jax.random.PRNGKey(999), 64, n))
+        for true_w in (1.2, 1.8, 2.4):
+            k = jnp.asarray(db.gaussian_kernel(true_w)[None])
+            gt = random_images(jax.random.PRNGKey(7), 7, n)
+            data = jax.jit(lambda kk, g, k=k: db.make_data(
+                kk, g, k, sigma_list=(7.65,)))(jax.random.PRNGKey(1), gt)
+            w_hat = estimate_gaussian_width(np.asarray(data["y0"]),
+                                            7.65 / 255, ref_images=ref)
+            # asymmetric band matching the shrinkage design: under-
+            # estimates are cheap (-20% costs 0.38 dB), over-estimates
+            # are not (+20% costs 1.33 dB)
+            assert -0.35 < (w_hat / true_w - 1.0) < 0.15, (true_w, w_hat)
+
+    def test_power_law_fallback_runs(self):
+        """Without a calibration corpus the analytic power-law prior
+        still returns a sane width (coarser; used off-corpus)."""
+        import numpy as np
+
+        from tfpnp_tpu.data.synthetic import random_images
+        from tfpnp_tpu.pnp.blind import estimate_gaussian_width
+        from tfpnp_tpu.tasks import deblur as db
+
+        k = jnp.asarray(db.gaussian_kernel(1.8)[None])
+        gt = random_images(jax.random.PRNGKey(7), 7, 64)
+        data = jax.jit(lambda kk, g: db.make_data(
+            kk, g, k, sigma_list=(7.65,)))(jax.random.PRNGKey(1), gt)
+        w_hat = estimate_gaussian_width(np.asarray(data["y0"]), 7.65 / 255)
+        assert 0.05 <= w_hat <= 4.0

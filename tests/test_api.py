@@ -77,8 +77,10 @@ class TestEvalSetGrid:
         _, _, train_sets, _, _ = mod.build(Options().parse(base), tv)
         _, _, eval_sets, _, _ = mod.build(Options().parse(base + ["--eval"]), tv)
         assert sorted(train_sets) == [f"radial_32_{a}_15" for a in (2, 4, 8)]
+        # --eval also appends the held-out natural anchor (data/natural.py)
         assert sorted(eval_sets) == sorted(
-            f"radial_32_{a}_{s}" for a in (2, 4, 8) for s in (10, 15, 5))
+            [f"radial_32_{a}_{s}" for a in (2, 4, 8) for s in (10, 15, 5)]
+            + ["natural_4_15"])
 
 
 class TestMixedPrecisionDenoiser:

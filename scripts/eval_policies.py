@@ -79,15 +79,31 @@ def main():
         logger.log(f"## {name} ({pack}x{steps}, {args.image_size}^2)")
         t0 = time.time()
         mean_psnr = ev.eval(variables, step=0)
+        sets = getattr(ev, "last_metrics", {})
+        mean_iters = (sum(m["iters"] for m in sets.values())
+                      / max(len(sets), 1))
+        nat = {k: m for k, m in sets.items() if k.startswith("natural")}
         rows.append({"policy": name, "task": task_name, "solver": solver,
                      "mean_psnr": round(float(mean_psnr), 2),
-                     "eval_s": round(time.time() - t0, 1)})
-        print(json.dumps(rows[-1]))
+                     "mean_iters": round(float(mean_iters), 2),
+                     "natural_psnr": (round(next(iter(nat.values()))["psnr"], 2)
+                                      if nat else None),
+                     "natural_init": (round(next(iter(nat.values()))["psnr_init"], 2)
+                                      if nat else None),
+                     "eval_s": round(time.time() - t0, 1),
+                     "sets": {k: {kk: round(vv, 2) for kk, vv in m.items()}
+                              for k, m in sets.items()}})
+        print(json.dumps({k: v for k, v in rows[-1].items() if k != "sets"}))
 
-    logger.log("| policy | mean PSNR over sets | eval s |")
-    logger.log("|---|---|---|")
+    logger.log("| policy | mean PSNR over sets | mean iters | natural set | eval s |")
+    logger.log("|---|---|---|---|---|")
     for r in rows:
-        logger.log(f"| {r['policy']} | {r['mean_psnr']} | {r['eval_s']} |")
+        nat = (f"{r['natural_init']} -> {r['natural_psnr']}"
+               if r.get("natural_psnr") is not None else "-")
+        logger.log(f"| {r['policy']} | {r['mean_psnr']} | {r['mean_iters']} "
+                   f"| {nat} | {r['eval_s']} |")
+    with open(Path(args.out) / "eval_policies.json", "w") as f:
+        json.dump(rows, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -144,6 +144,10 @@ class Evaluator:
 
     def eval(self, actor_variables, step: int) -> float:
         total = 0.0
+        # per-set metrics from the most recent eval() call, for callers
+        # that need more than the scalar selection score (e.g. the
+        # release-validation sweep records per-policy iters)
+        self.last_metrics: Dict[str, dict] = {}
         for name, data in self.eval_sets.items():
             episode = self._episode_fn(actor_variables, data)  # untimed compile
             t0 = time.time()
@@ -165,6 +169,9 @@ class Evaluator:
             self.logger.scalars(step, {f"eval/{name}/psnr": float(psnr_f.mean()),
                                        f"eval/{name}/iters": float(iters.mean()),
                                        f"eval/{name}/score": score})
+            self.last_metrics[name] = {
+                "psnr_init": float(psnr0.mean()), "psnr": float(psnr_f.mean()),
+                "iters": float(iters.mean()), "score": score}
             total += score
 
             if self.save_dir is not None:

@@ -61,3 +61,20 @@ class TestUNetS2D:
         save_denoiser_params(params, p)  # bare tree, no arch tag
         den = load_denoiser(p)
         assert isinstance(den.module, UNet)
+
+
+class TestUNetS2DOddSizes:
+    def test_unaligned_sizes_pad_and_crop(self):
+        """UNetS2D must accept sizes not divisible by factor*2^(levels-1)
+        (the SR x3 ladder runs 126^2): reflect-pad in, crop the residual
+        out, and leave aligned sizes bit-identical to the unpadded path."""
+        from tfpnp_tpu.models.unet import UNetS2D
+
+        net = UNetS2D(2, 1)
+        params = net.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 32, 32, 2)))["params"]
+        for n in (126, 63, 30):
+            x = jax.random.uniform(jax.random.PRNGKey(1), (2, n, n, 2))
+            out = net.apply({"params": params}, x)
+            assert out.shape == (2, n, n, 1)
+            assert np.isfinite(np.asarray(out)).all()

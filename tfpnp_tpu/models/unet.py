@@ -169,6 +169,17 @@ class UNetS2D(nn.Module):
         inp = x
         r = self.factor
         w = self.widths
+        # the shuffle + 2x up/down ladder needs H, W divisible by
+        # factor * 2^(levels-1); reflect-pad up and crop the residual
+        # back so arbitrary sizes (e.g. the SR x3 126^2 grids) work —
+        # shapes are static under jit, so this costs nothing when the
+        # input is already aligned
+        m = r * (1 << (len(w) - 1))
+        h, wd = x.shape[1], x.shape[2]
+        ph, pw = (-h) % m, (-wd) % m
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                        mode="reflect")
         z = space_to_depth(x, r)
         skips = []
         z = ConvBlock(w[0], dtype=self.dtype, name="inc")(z)
@@ -182,5 +193,5 @@ class UNetS2D(nn.Module):
             z = ConvBlock(w[i], dtype=self.dtype, name=f"up{i}")(z)
         z = nn.Conv(self.out_channels * r * r, (1, 1), dtype=self.dtype,
                     name="outc")(z)
-        residual = depth_to_space(z.astype(jnp.float32), r)
+        residual = depth_to_space(z.astype(jnp.float32), r)[:, :h, :wd]
         return inp[..., : self.out_channels].astype(jnp.float32) + residual

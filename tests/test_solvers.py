@@ -242,3 +242,34 @@ class TestDivergenceSafety:
         obs = np.asarray(_var_channels(solver, state))
         assert np.isfinite(obs).all()
         assert np.abs(obs).max() <= OBS_CLIP
+
+
+class TestDegenerateHyperparameters:
+    def test_redadmm_mu_lam_zero_is_finite(self):
+        """A saturated policy CAN emit exact mu = lamda = 0 (both ranges
+        start at 0, reference network.py:227): the RED-ADMM x-update is
+        then 0/0 and one NaN image poisons a whole training rollout
+        (observed round 3). The degenerate corner must keep the previous
+        iterate and stay finite."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tfpnp_tpu.data.synthetic import random_images
+        from tfpnp_tpu.pnp import get_solver, run_bundle
+        from tfpnp_tpu.pnp.tv import TVDenoiser
+        from tfpnp_tpu.tasks import csmri
+
+        n = 32
+        gt = random_images(jax.random.PRNGKey(0), 2, n)
+        masks = jnp.asarray(np.stack([csmri.radial_mask(n, 4)]))
+        data = csmri.make_data(jax.random.PRNGKey(1), gt, masks,
+                               sigma_list=(15.0,))
+        solver = get_solver("csmri_redadmm", TVDenoiser(n_iter=2))
+        # bang-bang extremes incl. the 0/0 corner on every iteration
+        zeros = jnp.zeros((2, 4), jnp.float32)
+        hyper = {"sigma_d": zeros + 0.1, "mu": zeros, "lamda": zeros}
+        out = run_bundle(solver, solver.init(data),
+                         solver.filter_aux(data), hyper)
+        x = np.asarray(jnp.abs(solver.get_output(out)))
+        assert np.isfinite(x).all()

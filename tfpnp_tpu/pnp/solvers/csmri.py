@@ -147,7 +147,14 @@ def make_redadmm(denoiser) -> Solver:
         mu = hyper["mu"].reshape(-1, 1, 1).astype(x.dtype)
         lam = hyper["lamda"].reshape(-1, 1, 1).astype(x.dtype)
         x_half = real2complex(denoiser(complex2real(x), hyper["sigma_d"]))
-        x = (lam * x_half + mu * (z - u)) / (mu + lam)
+        # mu = lam = 0 (both action ranges include 0, and a saturated
+        # policy CAN emit exact zeros) makes the x-subproblem vacuous;
+        # 0/0 here poisoned whole training rollouts (round 3). Keep the
+        # previous iterate in that degenerate corner.
+        denom = mu + lam
+        x = jnp.where(jnp.abs(denom) > 1e-8,
+                      (lam * x_half + mu * (z - u))
+                      / jnp.where(jnp.abs(denom) > 1e-8, denom, 1.0), x)
         zf = fft2c(x + u)
         z = ifft2c(_data_consistency(zf, y0, mask, hyper["mu"]))
         u = u + x - z

@@ -162,6 +162,39 @@ def bench_torch_cpu():
     return b * n_iter / dt
 
 
+def pinned_cpu_baseline() -> float:
+    """The PyTorch-CPU denominator, pinned in BASELINE.json.
+
+    An in-process re-measure per run drifted ~40% with host load
+    (BENCH_r03 516x vs RESULTS 715x at the same numerator — VERDICT r3
+    weak #5). The first run on a quiet host measures the median of 5
+    reps and records {value, date, config}; every later run reports
+    against that pinned value so the multiplier is reproducible. Delete
+    the ``torch_cpu_baseline`` key to force a re-measure.
+    """
+    p = Path(__file__).resolve().parent / "BASELINE.json"
+    try:
+        blob = json.loads(p.read_text())
+    except Exception:
+        blob = {}
+    pin = blob.get("torch_cpu_baseline")
+    if pin:
+        return float(pin["iter_s"])
+    import statistics
+    vals = [bench_torch_cpu() for _ in range(5)]
+    its = statistics.median(vals)
+    blob["torch_cpu_baseline"] = {
+        "iter_s": round(its, 2),
+        "runs": [round(v, 2) for v in vals],
+        "date": time.strftime("%Y-%m-%d"),
+        "config": ("CS-MRI PnP-ADMM, reference-shape TorchUNet prior, "
+                   "batch 4 @128^2, torch CPU eager, in-process "
+                   "(bench.bench_torch_cpu)"),
+    }
+    p.write_text(json.dumps(blob, indent=1) + "\n")
+    return its
+
+
 def main():
     tpu_its, q_f32 = bench_tpu("f32")
     # faster candidates (MXU-native bf16 convs; the TPU-shaped s2d prior
@@ -179,7 +212,7 @@ def main():
         except Exception:
             pass
     try:
-        cpu_its = bench_torch_cpu()
+        cpu_its = pinned_cpu_baseline()
     except Exception:
         cpu_its = float("nan")
     vs = tpu_its / cpu_its if cpu_its == cpu_its else None

@@ -12,6 +12,7 @@ where EXP is a logs/ run dir name, e.g. csmri_redadmm_5x6_48r3.
 """
 
 import argparse
+import json
 import pickle
 import re
 import subprocess
@@ -24,11 +25,30 @@ from train_queue import COMMON, run_watched  # noqa: E402
 
 
 def parse_exp(exp: str):
-    """csmri_redadmm_5x6_48r3 -> (task, solver, scale, pack, ep)."""
-    m = re.match(r"([a-z]+?)(\d)?_([a-z0-9]+)_(\d+)x(\d+)_48", exp)
+    """csmri_redadmm_5x6_48r3 -> (task, solver, scale, pack, ep, batch).
+
+    The batch token is parsed from the name (not hardcoded to 48), so
+    runs trained at other env_batch values extend correctly (advisor r3).
+    """
+    m = re.match(r"([a-z]+?)(\d)?_([a-z0-9]+)_(\d+)x(\d+)_(\d+)", exp)
     if not m:
         raise ValueError(f"unparseable exp {exp}")
-    return m.group(1), m.group(3), m.group(2), m.group(4), m.group(5)
+    return (m.group(1), m.group(3), m.group(2), m.group(4), m.group(5),
+            m.group(6))
+
+
+def read_step(final: Path) -> int:
+    """Resume step of a checkpoint, cheaply: the trainer writes a
+    ``.meta.json`` sidecar next to every ``.pkl`` (orbax checkpoints
+    carry ``meta.json`` inside the directory); only legacy checkpoints
+    without one pay the full unpickle of the multi-GB replay ring."""
+    side = final.with_suffix(".meta.json")
+    if side.exists():
+        return int(json.loads(side.read_text())["step"])
+    if final.is_dir() and (final / "meta.json").exists():
+        return int(json.loads((final / "meta.json").read_text())["step"])
+    with open(final, "rb") as f:
+        return int(pickle.load(f)["step"])
 
 
 def main():
@@ -41,20 +61,19 @@ def main():
     args = ap.parse_args()
 
     for exp in args.exps:
-        task, solver, scale, pack, ep = parse_exp(exp)
+        task, solver, scale, pack, ep, batch = parse_exp(exp)
         final = ROOT / "logs" / exp / "ckpt" / "final.pkl"
         if not final.exists():
             print(f"=== {exp}: no final.pkl, skipping ===", flush=True)
             continue
-        with open(final, "rb") as f:
-            # pickled dict; 'step' is near the front but load fully
-            step = pickle.load(f)["step"]
+        step = read_step(final)
         target = int(step) + args.extra
         cmd = [sys.executable, "-m", "tfpnp_tpu", "--task", task,
                "--solver", solver, "--exp", exp,
                "--train_steps", str(target), "-r", str(final),
                "--denoiser_ckpt", args.denoiser_ckpt] + COMMON
-        cmd += ["--action_pack", pack, "--max_episode_step", ep]
+        cmd += ["--action_pack", pack, "--max_episode_step", ep,
+                "--env_batch", batch]
         if task == "sr" and scale:
             cmd += ["--scale", scale]
         print(f"=== extend {exp}: step {step} -> {target} ===", flush=True)

@@ -141,3 +141,18 @@ class TestMultiHost:
     def test_full_loop_ran_across_processes(self, worker_probe):
         assert worker_probe["episodes"] >= 4
         assert worker_probe["rpm"] > 0
+
+    def test_multihost_checkpoint_includes_ring(self, worker_probe):
+        """Orbax collective save/restore of the dp-slot-sharded device
+        ring: contents, cursor, size, sampling stream and shardings all
+        survive a multi-host checkpoint (VERDICT r3 next #3)."""
+        before, after = (worker_probe["ring_fp_before"],
+                         worker_probe["ring_fp_after"])
+        assert before["idx"] == after["idx"]
+        assert before["size"] == after["size"] > 0
+        np.testing.assert_allclose(before["sums"], after["sums"], rtol=1e-6,
+                                   err_msg="ring contents changed across "
+                                           "multi-host save/restore")
+        assert worker_probe["ring_sample_diff"] == 0.0
+        assert worker_probe["ring_restored_sharded"]
+        assert worker_probe["resume_step"] == 999

@@ -112,4 +112,9 @@ def natural_images(n: int, size: int) -> np.ndarray:
     imgs = []
     for j, img in enumerate(srcs):
         imgs.extend(_crops(img, size, per, seed=101 + j))
-    return np.stack(imgs[:n]).astype(np.float32)
+    out = np.stack(imgs[:n]).astype(np.float32)
+    # the batch is lru_cached and shared across every eval set built in
+    # this process — freeze it so a mutating caller fails loudly instead
+    # of corrupting later sets (advisor r3)
+    out.setflags(write=False)
+    return out

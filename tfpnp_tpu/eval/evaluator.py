@@ -130,9 +130,17 @@ class Evaluator:
         logged ``time:`` metric must measure execution, not the first
         set's multi-second XLA compile (round-2 weak #7 — the exact
         compile/execute mixing CLAUDE.md rule 7 documents for benches).
-        One executable per (variables, data) shape signature is cached."""
-        key = str(jax.tree.map(lambda a: (tuple(a.shape), str(a.dtype)),
-                               (actor_variables, data)))
+        One executable per (variables, data) signature is cached; the key
+        includes each leaf's device placement/sharding, not just
+        shape/dtype — an AOT executable is specialized to placement, so a
+        same-shaped call with differently-placed inputs (mesh-replicated
+        params vs host arrays) must not hit the same entry (advisor r3).
+        The executable call itself also falls back to the plain jit on
+        placement errors that slip past the key."""
+        key = str(jax.tree.map(
+            lambda a: (tuple(a.shape), str(a.dtype),
+                       str(getattr(a, "sharding", None))),
+            (actor_variables, data)))
         exe = self._exe_cache.get(key)
         if exe is None:
             try:
@@ -140,7 +148,15 @@ class Evaluator:
             except Exception:  # AOT unsupported for this input placement
                 exe = self._episode
             self._exe_cache[key] = exe
-        return exe
+        if exe is self._episode:
+            return exe
+
+        def call(variables, data, _exe=exe):
+            try:
+                return _exe(variables, data)
+            except Exception:  # stale placement specialization
+                return self._episode(variables, data)
+        return call
 
     def eval(self, actor_variables, step: int) -> float:
         total = 0.0

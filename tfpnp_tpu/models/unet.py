@@ -178,8 +178,10 @@ class UNetS2D(nn.Module):
         h, wd = x.shape[1], x.shape[2]
         ph, pw = (-h) % m, (-wd) % m
         if ph or pw:
-            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
-                        mode="reflect")
+            # reflect needs pad < dim; inputs smaller than the alignment
+            # modulus (e.g. H=5 with m=16) fall back to edge replication
+            mode = "reflect" if (ph < h and pw < wd) else "edge"
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
         z = space_to_depth(x, r)
         skips = []
         z = ConvBlock(w[0], dtype=self.dtype, name="inc")(z)

@@ -17,7 +17,6 @@ branch is also broken, rpm.py:56).
 from __future__ import annotations
 
 import ctypes
-import functools
 from typing import Any, Optional
 
 import jax
@@ -250,7 +249,6 @@ class DeviceReplayBuffer:
 
         cap = self.capacity
 
-        @functools.partial(jax.jit, donate_argnums=0)
         def _insert(storage, rows, keep, start):
             flat_keep = keep.astype(jnp.int32)
             rank = jnp.cumsum(flat_keep) - flat_keep
@@ -265,7 +263,13 @@ class DeviceReplayBuffer:
         def _gather(storage, idx):
             return jax.tree.map(lambda buf: buf[idx], storage)
 
-        self._insert_jit = _insert
+        # pin the ring's slot-sharding through the donated scatter: without
+        # explicit out_shardings GSPMD is free to re-lay-out the output, and
+        # every later insert/gather would silently run on a replicated ring
+        # (advisor r3). out_shardings as a pytree prefix covers every leaf.
+        self._insert_jit = jax.jit(
+            _insert, donate_argnums=0,
+            **({"out_shardings": sharding} if sharding is not None else {}))
         self._gather_jit = _gather
 
     def __len__(self) -> int:
@@ -330,9 +334,21 @@ class DeviceReplayBuffer:
         import jax.numpy as _jnp
         return self._gather_jit(self._storage, _jnp.asarray(idx, _jnp.int32))
 
-    def state_dict(self) -> dict:
-        """Device -> host dump of the ring (one d2h transfer at checkpoint
-        time; the trash slot at ``capacity`` is dropped)."""
+    def state_dict(self, host: bool = True) -> dict:
+        """Ring contents for checkpointing.
+
+        ``host=True`` (default): device -> host dump (one d2h transfer;
+        the trash slot at ``capacity`` is dropped). Only valid when the
+        storage is fully addressable (single-host).
+
+        ``host=False``: the live global device arrays, UNSLICED (all
+        ``_n_slots`` slots — eager slicing of a non-addressable array is
+        illegal). This is the multi-host path: the orbax backend saves
+        each array collectively with its sharding, so every process
+        writes only its own ring shards (VERDICT r3 next #3)."""
+        if not host:
+            return {"storage": self._storage, "idx": self._idx,
+                    "size": self._size}
         storage = None
         if self._storage is not None:
             storage = jax.device_get(
@@ -343,15 +359,31 @@ class DeviceReplayBuffer:
         import jax.numpy as _jnp
 
         if state.get("storage") is not None:
-            pad = self._n_slots - self.capacity
-            self._storage = jax.tree.map(
-                lambda a: _jnp.concatenate(
-                    [_jnp.asarray(a),
-                     _jnp.zeros((pad,) + a.shape[1:], a.dtype)]),
-                state["storage"])
-            if self._sharding is not None:
+            storage = state["storage"]
+            first = jax.tree.leaves(storage)[0]
+            if (isinstance(first, jax.Array)
+                    and not getattr(first, "is_fully_addressable", True)):
+                # restored-in-place global arrays (orbax multi-host
+                # template restore): adopt directly
+                self._storage = storage
+            else:
+                n = int(first.shape[0])
+                pad = self._n_slots - n
+                assert pad >= 0, (
+                    f"checkpointed ring has {n} slots, buffer has "
+                    f"{self._n_slots}")
                 self._storage = jax.tree.map(
-                    lambda a: jax.device_put(a, self._sharding), self._storage)
+                    lambda a: _jnp.concatenate(
+                        [_jnp.asarray(np.asarray(a)),
+                         _jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+                    if pad else _jnp.asarray(np.asarray(a)),
+                    storage)
+                if self._sharding is not None:
+                    # multi-host: device_put of identical host values from
+                    # every process assembles the global sharded array
+                    self._storage = jax.tree.map(
+                        lambda a: jax.device_put(a, self._sharding),
+                        self._storage)
         self._idx = int(state["idx"])
         self._size = int(state["size"])
 

@@ -61,7 +61,8 @@ def save_state(path, state: Dict[str, Any]) -> None:
             ck.save(str((path / k).resolve()), sub, force=True)
     if hasattr(ck, "wait_until_finished"):
         ck.wait_until_finished()
-    (path / "meta.json").write_text(json.dumps(meta))
+    if jax.process_index() == 0:  # one writer on a shared filesystem
+        (path / "meta.json").write_text(json.dumps(meta))
 
 
 def load_state(path, template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:

@@ -135,6 +135,49 @@ def main():
                 all_rows.append(row)
                 print(json.dumps(row), flush=True)
 
+        if args.blind and task_name == "deblur":
+            # ---- family-blind sweep (round 4): the estimator covers all
+            # three shipped kernel families — and in 'auto' mode it is
+            # handed neither the parameters NOR the family. Per family:
+            # oracle (true kernel) vs a no-estimator fallback (the bank's
+            # median isotropic kernel — what a system that cannot
+            # estimate would assume) vs the blind estimate. The blind
+            # mode must recover >= half of the fallback's loss.
+            from tfpnp_tpu.pnp.blind import estimate_kernel
+            from tfpnp_tpu.tasks.deblur import kernel_bank
+            ref = np.asarray(random_images(jax.random.PRNGKey(999), 64, n))
+            bank = kernel_bank()
+            fam_true = {"gaussian": bank[1], "aniso": bank[4],
+                        "motion": bank[6]}
+            k_fallback = jnp.asarray(bank[1][None])  # isotropic w=1.8
+            for fam, kt in fam_true.items():
+                d_fam = jax.jit(
+                    lambda k, g, kk: deblur.make_data(
+                        k, g, kk, sigma_list=(7.65,)))(
+                    jax.random.fold_in(key, 2), gt, jnp.asarray(kt)[None])
+                rows = {}
+                k_hat, info = estimate_kernel(
+                    np.asarray(d_fam["y0"]), 7.65 / 255, family="auto",
+                    ref_images=ref)
+                for mode, ks in (("oracle", jnp.asarray(kt)[None]),
+                                 ("fallback", k_fallback),
+                                 ("blind", jnp.asarray(k_hat)[None])):
+                    kf = jax.jit(lambda s: jnp.broadcast_to(
+                        deblur.psf2otf(s, n)[0], d_fam["kf"].shape))(ks)
+                    rows[mode] = ev.run_set(variables, {**d_fam, "kf": kf})
+                loss_fb = rows["oracle"]["psnr"] - rows["fallback"]["psnr"]
+                loss_bl = rows["oracle"]["psnr"] - rows["blind"]["psnr"]
+                rec = (1.0 - loss_bl / loss_fb) if loss_fb > 1e-6 else 1.0
+                row = {"task": "deblur_family_blind", "family": fam,
+                       "picked": info["family"],
+                       "params": [round(p, 3) for p in info["params"]],
+                       "oracle": round(rows["oracle"]["psnr"], 2),
+                       "fallback": round(rows["fallback"]["psnr"], 2),
+                       "blind": round(rows["blind"]["psnr"], 2),
+                       "recovered_frac": round(rec, 3)}
+                all_rows.append(row)
+                print(json.dumps(row), flush=True)
+
         logger.log(f"## {solver_name} kernel-width mismatch "
                    f"(sigma_true={SIGMA_TRUE}, {n}^2)")
         logger.log("| eps | psnr_init | psnr | delta vs matched | iters |")

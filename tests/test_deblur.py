@@ -245,3 +245,68 @@ class TestBlindKernelEstimation:
             kk, g, k, sigma_list=(7.65,)))(jax.random.PRNGKey(1), gt)
         w_hat = estimate_gaussian_width(np.asarray(data["y0"]), 7.65 / 255)
         assert 0.05 <= w_hat <= 4.0
+
+    def test_family_blind_estimate_recovers_each_family(self):
+        """Round-4 generalized estimator (pnp/blind.py estimate_kernel):
+        in 'auto' mode — neither parameters NOR family given — it must
+        return a kernel close to the truth for a member of each shipped
+        family (isotropic/anisotropic Gaussian + motion line,
+        tasks/deblur.py kernel_bank). Closeness is measured on the
+        kernel itself (relative L2), not the family label: an
+        anisotropic fit with wx ~ wy is a correct answer for an
+        isotropic truth."""
+        import numpy as np
+
+        from tfpnp_tpu.data.synthetic import random_images
+        from tfpnp_tpu.pnp.blind import estimate_kernel
+        from tfpnp_tpu.tasks import deblur as db
+
+        n = 64
+        ref = np.asarray(random_images(jax.random.PRNGKey(999), 64, n))
+        gt = random_images(jax.random.PRNGKey(77), 7, n)
+        bank = db.kernel_bank()
+        for fam, kt in (("gaussian", bank[1]), ("aniso", bank[4]),
+                        ("motion", bank[6])):
+            data = jax.jit(lambda k, g, kk: db.make_data(
+                k, g, kk, sigma_list=(7.65,)))(
+                jax.random.PRNGKey(1), gt, jnp.asarray(kt)[None])
+            k_hat, info = estimate_kernel(
+                np.asarray(data["y0"]), 7.65 / 255, family="auto",
+                ref_images=ref)
+            rel = float(np.sum((k_hat - np.asarray(kt)) ** 2)
+                        / np.sum(np.asarray(kt) ** 2))
+            # shrinkage widens the gaussian-family gap deliberately;
+            # 0.35 relative energy keeps the estimate inside the
+            # graceful-degradation band measured in RESULTS.md
+            assert rel < 0.35, (fam, info, rel)
+            # gaussian and aniso are nested families (wx == wy is
+            # isotropic): either label is correct for either truth, as
+            # long as the KERNEL matches (asserted above). Motion is
+            # structurally distinct and must be identified exactly.
+            ok = ({"gaussian", "aniso"} if fam in ("gaussian", "aniso")
+                  else {"motion"})
+            assert info["family"] in ok, (fam, info)
+
+    def test_family_blind_single_family_mode(self):
+        """family='motion' restricts the search; the returned params are
+        (half_len, theta) near the bank's rasterized line."""
+        import numpy as np
+
+        from tfpnp_tpu.data.synthetic import random_images
+        from tfpnp_tpu.pnp.blind import estimate_kernel
+        from tfpnp_tpu.tasks import deblur as db
+
+        n = 64
+        kt = db.kernel_bank()[7]  # theta = 2*pi/3, half_len 6.75
+        gt = random_images(jax.random.PRNGKey(8), 7, n)
+        data = jax.jit(lambda k, g: db.make_data(
+            k, g, jnp.asarray(kt)[None], sigma_list=(7.65,)))(
+            jax.random.PRNGKey(2), gt)
+        ref = np.asarray(random_images(jax.random.PRNGKey(999), 64, n))
+        k_hat, info = estimate_kernel(np.asarray(data["y0"]), 7.65 / 255,
+                                      family="motion", ref_images=ref)
+        l_hat, th_hat = info["params"]
+        assert abs(l_hat - 0.45 * 15) < 1.5, info
+        # orientation mod pi
+        d = abs((th_hat - 2 * np.pi / 3 + np.pi / 2) % np.pi - np.pi / 2)
+        assert d < 0.15, info

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["estimate_gaussian_width"]
+__all__ = ["estimate_gaussian_width", "estimate_kernel"]
 
 
 def _radial_spectrum(y: np.ndarray, f_lo: float, f_hi: float, n_bins: int):
@@ -113,3 +113,209 @@ def estimate_gaussian_width(y: np.ndarray, sigma_n: float,
         if err < best_err:
             best_err, best_w = err, float(w)
     return max(best_w * shrink, 0.05)
+
+
+# --------------------------------------------------------------------------- #
+# Generalized blind estimation over the full shipped kernel zoo               #
+# (round-4; VERDICT r3 next #7): isotropic + ANISOTROPIC Gaussians and        #
+# MOTION line segments — the three families the deblur/SR policies train     #
+# and evaluate on (tasks/deblur.py kernel_bank). Same spectral principle as  #
+# the isotropic estimator, lifted from radial to (radius x orientation)     #
+# bins: an anisotropic PSF attenuates differently along its axes, a motion  #
+# line imprints a sinc null pattern perpendicular to its direction — both   #
+# invisible to a radial average, both dominant in 2-D sector bins.          #
+#                                                                           #
+# Candidates are GENERATED kernels (the exact parametric families the task  #
+# synthesizes, including the motion rasterization), scored by full-band     #
+# 2-D log-spectrum error with a closed-form amplitude fit — no solves, no   #
+# reference image, family selection for free by comparing best scores.      #
+# --------------------------------------------------------------------------- #
+
+
+def _bin_map_2d(h: int, w: int, f_lo: float, f_hi: float,
+                n_r: int, n_a: int):
+    """Assign every FFT pixel to a (log-radius, orientation mod pi) sector
+    bin; returns (flat bin index map [-1 = excluded], n_bins, counts)."""
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.fftfreq(w)[None, :]
+    fr = np.hypot(fy, fx)
+    ang = np.mod(np.arctan2(fy, fx), np.pi)
+    r_edges = np.geomspace(max(f_lo, 1.5 / max(h, w)), f_hi, n_r + 1)
+    ri = np.searchsorted(r_edges, fr, side="right") - 1
+    ai = np.minimum((ang / np.pi * n_a).astype(np.int64), n_a - 1)
+    valid = (ri >= 0) & (ri < n_r)
+    idx = np.where(valid, ri * n_a + ai, -1)
+    counts = np.bincount(idx[idx >= 0].ravel(), minlength=n_r * n_a)
+    return idx, n_r * n_a, counts
+
+
+def _bin_spectrum(spec: np.ndarray, idx: np.ndarray, n_bins: int,
+                  counts: np.ndarray) -> np.ndarray:
+    """Per-image sector-bin means reduced by the median over images
+    (heavy-tailed across a small batch); spec is [B, H, W] or [H, W]."""
+    if spec.ndim == 2:
+        spec = spec[None]
+    flat = idx.ravel()
+    m = flat >= 0
+    means = np.stack([
+        np.bincount(flat[m], weights=s.ravel()[m], minlength=n_bins)
+        for s in spec]) / np.maximum(counts, 1)
+    return np.median(means, axis=0)
+
+
+def _otf_power(kernel: np.ndarray, h: int, w: int) -> np.ndarray:
+    """|OTF|^2 of a [k, k] PSF on an [h, w] grid (numpy psf2otf)."""
+    ks = kernel.shape[0]
+    pad = np.zeros((h, w), np.float64)
+    pad[:ks, :ks] = kernel
+    pad = np.roll(pad, (-(ks // 2), -(ks // 2)), axis=(0, 1))
+    return np.abs(np.fft.fft2(pad)) ** 2
+
+
+def _score(P: np.ndarray, P_ref: np.ndarray, floor: float,
+           att: np.ndarray, valid: np.ndarray) -> float:
+    """Full-band log-spectrum error of the model a*P_ref*att + floor with
+    the closed-form amplitude a (mean log-ratio over SNR-positive bins).
+    Deep spectral nulls (att ~ 0, motion kernels) are kept in the model
+    but excluded from the amplitude fit; empty sector bins (``valid``)
+    are excluded entirely — their log(0) would add a large constant to
+    every candidate and dilute the discrimination."""
+    log_P = np.log(np.maximum(P, 1e-30))
+    resid = P - floor
+    fit = valid & (resid > 0.5 * floor) & (att > 1e-6) & (P_ref > 0)
+    if fit.sum() < 6:
+        return np.inf
+    z = np.log(resid[fit]) - np.log(P_ref[fit] * att[fit])
+    model = np.exp(np.mean(z)) * P_ref * att + floor
+    return float(np.mean(
+        (np.log(np.maximum(model, 1e-30)) - log_P)[valid] ** 2))
+
+
+def _gaussian_candidates(refine=None):
+    from ..tasks.deblur import gaussian_kernel
+    if refine is None:
+        ws = np.linspace(0.3, 4.0, 40)
+    else:
+        (w,) = refine
+        ws = np.linspace(max(w - 0.25, 0.1), w + 0.25, 11)
+    return [((float(w),), gaussian_kernel(float(w))) for w in ws]
+
+
+def _aniso_candidates(refine=None):
+    from ..tasks.deblur import gaussian_kernel
+    if refine is None:
+        grid = [(sx, sy, th)
+                for sx in (1.5, 2.0, 2.5, 3.0, 3.5)
+                for sy in (0.5, 0.8, 1.1, 1.4)
+                for th in np.linspace(0, np.pi, 12, endpoint=False)]
+    else:
+        sx0, sy0, th0 = refine
+        grid = [(sx, sy, th)
+                for sx in np.linspace(max(sx0 - 0.4, 0.3), sx0 + 0.4, 5)
+                for sy in np.linspace(max(sy0 - 0.25, 0.2), sy0 + 0.25, 5)
+                for th in th0 + np.linspace(-0.15, 0.15, 5)]
+    return [((float(sx), float(sy), float(th)),
+             gaussian_kernel(float(sx), float(sy), float(th)))
+            for sx, sy, th in grid]
+
+
+def _motion_candidates(refine=None, ksize: int = 15):
+    from ..tasks.deblur import motion_kernel
+    if refine is None:
+        grid = [(l, th)
+                for l in np.linspace(0.15, 0.60, 10) * ksize
+                for th in np.linspace(0, np.pi, 18, endpoint=False)]
+    else:
+        l0, th0 = refine
+        grid = [(l, th)
+                for l in np.linspace(max(l0 - 1.2, 1.0), l0 + 1.2, 7)
+                for th in th0 + np.linspace(-0.1, 0.1, 7)]
+    return [((float(l), float(th)),
+             motion_kernel(float(th), half_len=float(l), ksize=ksize))
+            for l, th in grid]
+
+
+_FAMILIES = {"gaussian": _gaussian_candidates,
+             "aniso": _aniso_candidates,
+             "motion": _motion_candidates}
+
+
+def estimate_kernel(y: np.ndarray, sigma_n: float,
+                    family: str = "auto",
+                    ref_images: np.ndarray = None,
+                    f_lo: float = 0.02, f_hi: float = 0.45,
+                    n_r: int = 12, n_a: int = 16,
+                    shrink: float = 0.9):
+    """Blind PSF estimation over the shipped kernel families.
+
+    Args:
+      y:       ``[B, H, W]`` (or ``[H, W]``) blurred noisy images in [0, 1].
+      sigma_n: measurement noise std on the same scale.
+      family:  'gaussian' | 'aniso' | 'motion' | 'auto'. 'auto' searches
+        all three and returns the family with the best spectral fit —
+        fully blind: neither parameters nor family assumed.
+      ref_images: CLEAN corpus images (never the test set) calibrating
+        the 2-D signal spectrum; strongly recommended (the procedural
+        corpus is not power-law and mildly anisotropic).
+      shrink: multiplicative under-bias applied to Gaussian widths (the
+        measured mismatch cost is asymmetric — over-sharpening rings;
+        RESULTS.md robustness table). Motion length is NOT shrunk: its
+        spectral nulls pin the length, and a shortened line moves the
+        nulls instead of softening them.
+
+    Returns:
+      (kernel ``[15, 15]`` float32, info dict with 'family', 'params',
+      'score', and per-family best scores under 'scores').
+    """
+    y = np.asarray(y, np.float64)
+    if y.ndim == 2:
+        y = y[None]
+    b, h, w = y.shape
+    idx, n_bins, counts = _bin_map_2d(h, w, f_lo, f_hi, n_r, n_a)
+    P = _bin_spectrum(np.abs(np.fft.fft2(y)) ** 2, idx, n_bins, counts)
+    floor = h * w * float(sigma_n) ** 2
+
+    if ref_images is not None:
+        ref = np.asarray(ref_images, np.float64)
+        P_ref = _bin_spectrum(np.abs(np.fft.fft2(ref)) ** 2,
+                              idx, n_bins, counts)
+    else:
+        # analytic fallback: radially power-law, orientation-flat
+        fy = np.fft.fftfreq(h)[:, None]
+        fx = np.fft.fftfreq(w)[None, :]
+        fr = np.maximum(np.hypot(fy, fx), 1e-6)
+        P_ref = _bin_spectrum(fr ** -2.0, idx, n_bins, counts)
+
+    valid = counts > 0
+    families = list(_FAMILIES) if family == "auto" else [family]
+    results = {}
+    for fam in families:
+        gen = _FAMILIES[fam]
+        best = (np.inf, None)
+        for params, k in gen():
+            s = _score(P, P_ref, floor, _bin_spectrum(
+                _otf_power(k, h, w), idx, n_bins, counts), valid)
+            if s < best[0]:
+                best = (s, params)
+        for params, k in gen(refine=best[1]):
+            s = _score(P, P_ref, floor, _bin_spectrum(
+                _otf_power(k, h, w), idx, n_bins, counts), valid)
+            if s < best[0]:
+                best = (s, params)
+        results[fam] = best
+    fam = min(results, key=lambda f: results[f][0])
+    score, params = results[fam]
+
+    from ..tasks.deblur import gaussian_kernel, motion_kernel
+    if fam == "gaussian":
+        params = (max(params[0] * shrink, 0.05),)
+        kernel = gaussian_kernel(*params)
+    elif fam == "aniso":
+        sx, sy, th = params
+        params = (max(sx * shrink, 0.05), max(sy * shrink, 0.05), th)
+        kernel = gaussian_kernel(*params)
+    else:
+        l, th = params
+        kernel = motion_kernel(th, half_len=l)
+    return kernel, {"family": fam, "params": tuple(params), "score": score,
+                    "scores": {f: results[f][0] for f in results}}

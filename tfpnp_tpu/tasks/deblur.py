@@ -44,11 +44,29 @@ def gaussian_kernel(sigma_x: float, sigma_y: float = None, theta: float = 0.0,
     return (k / k.sum()).astype(np.float32)
 
 
+def motion_kernel(theta: float, half_len: float = None,
+                  ksize: int = 15) -> np.ndarray:
+    """[ksize, ksize] normalized motion-blur line segment at angle
+    ``theta`` with half-length ``half_len`` pixels (default the bank's
+    0.45 * ksize). Single-sourced so the blind estimator
+    (pnp/blind.py) searches the exact rasterized family the data
+    synthesis uses."""
+    half = (ksize - 1) / 2.0
+    if half_len is None:
+        half_len = 0.45 * ksize
+    t = np.linspace(-1, 1, 65)
+    px = half + t * half_len * np.cos(theta)
+    py = half + t * half_len * np.sin(theta)
+    k = np.zeros((ksize, ksize))
+    np.add.at(k, (np.clip(np.round(py), 0, ksize - 1).astype(int),
+                  np.clip(np.round(px), 0, ksize - 1).astype(int)), 1.0)
+    return (k / k.sum()).astype(np.float32)
+
+
 @functools.lru_cache(maxsize=None)
 def kernel_bank(ksize: int = 15) -> np.ndarray:
     """[M, ksize, ksize] normalized blur kernels: isotropic and rotated
     anisotropic Gaussians plus motion-blur line segments."""
-    half = (ksize - 1) / 2.0
     kernels = []
 
     def gauss(sx, sy, theta):
@@ -59,13 +77,7 @@ def kernel_bank(ksize: int = 15) -> np.ndarray:
     for th in (0.0, np.pi / 4, np.pi / 2):           # anisotropic
         kernels.append(gauss(3.0, 0.8, th))
     for th in (np.pi / 6, 2 * np.pi / 3):            # motion lines
-        t = np.linspace(-1, 1, 65)
-        px = half + t * 0.45 * ksize * np.cos(th)
-        py = half + t * 0.45 * ksize * np.sin(th)
-        k = np.zeros((ksize, ksize))
-        np.add.at(k, (np.clip(np.round(py), 0, ksize - 1).astype(int),
-                      np.clip(np.round(px), 0, ksize - 1).astype(int)), 1.0)
-        kernels.append(k / k.sum())
+        kernels.append(motion_kernel(th, ksize=ksize))
     return np.stack(kernels).astype(np.float32)
 
 

@@ -27,7 +27,8 @@ PACK = 5
 STEPS = 6  # episode steps -> PACK*STEPS = 30 solver iterations per image
 
 
-def bench_tpu(precision: str = "f32", ckpt: str | None = None):
+def bench_tpu(precision: str = "f32", ckpt: str | None = None,
+              use_pallas: bool = False):
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -45,7 +46,8 @@ def bench_tpu(precision: str = "f32", ckpt: str | None = None):
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     path = Path(ckpt) if ckpt else Path("tfpnp_tpu/pretrained/unet_denoiser.pkl")
     if path.exists():
-        denoiser = load_denoiser(path, compute_dtype=dtype)  # arch-aware
+        denoiser = load_denoiser(path, compute_dtype=dtype,
+                                 use_pallas=use_pallas)  # arch-aware
     else:
         denoiser = UNetDenoiser(
             params=init_denoiser_params(jax.random.PRNGKey(0), SIZE),
@@ -201,12 +203,15 @@ def main():
     # if trained) are adopted only if restoration quality holds to within
     # 0.1 dB of the f32 reference-UNet on the same inputs
     s2d = Path("tfpnp_tpu/pretrained/unet_s2d_denoiser.pkl")
-    candidates = [("bf16", None)]
+    candidates = [("bf16", None, False)]
     if s2d.exists():
-        candidates += [("f32", str(s2d)), ("bf16", str(s2d))]
-    for prec, ck in candidates:
+        # the Pallas fused-conv-block inference path is a candidate like
+        # any other: adopted only if faster AND within the quality gate
+        candidates += [("f32", str(s2d), False), ("bf16", str(s2d), False),
+                       ("bf16", str(s2d), True)]
+    for prec, ck, pallas in candidates:
         try:
-            its, q = bench_tpu(prec, ck)
+            its, q = bench_tpu(prec, ck, use_pallas=pallas)
             if its > tpu_its and q_f32 - q < 0.1:
                 tpu_its = its
         except Exception:

@@ -24,7 +24,10 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# unconditional: the session environment pins JAX_PLATFORMS to the
+# tunneled TPU, so setdefault would silently land this CPU probe on the
+# exclusive chip next to a live training job (CLAUDE.md rule 1)
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 
 def main():
@@ -59,7 +62,8 @@ def main():
     opt = Options().parse(
         ["--task", task_name, "--solver", solver, "--exp", "diag_stop",
          "--log_root", "logs/diag", "--image_size", str(args.size),
-         "--mesh_dp", "1"])
+         "--mesh_dp", "1", "--eval"])  # --eval: include the held-out
+    # natural anchor the release sweep scores (tasks/*.py build)
     task = importlib.import_module(f"tfpnp_tpu.tasks.{task_name}")
     denoiser = load_denoiser()
     env, _, eval_sets, solver_name, _ = task.build(opt, denoiser)

@@ -37,6 +37,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--pallas", action="store_true",
+                    help="also time the fused Pallas conv-block kernel "
+                         "per stage (ops/pallas_kernels.py)")
     args = ap.parse_args()
 
     import jax
@@ -117,6 +120,11 @@ def main():
                 + 4 * cin * cout
         t = timed(fn, x)
         total_t += t
+        t_pallas = None
+        if args.pallas and kind == "block" and args.dtype == "bf16":
+            from tfpnp_tpu.ops.pallas_kernels import fused_conv_block
+            t_pallas = timed(
+                lambda x, p=params: fused_conv_block(x, p), x)
         rows.append({
             "stage": name, "shape": f"{h}^2x{cin}->{cout}",
             "ms": round(t * 1e3, 3),
@@ -129,6 +137,8 @@ def main():
             "t_compute_ms": round(1e3 * flops / PEAK_BF16, 3),
             "t_hbm_xla_ms": round(1e3 * bytes_xla / PEAK_HBM, 3),
             "t_hbm_min_ms": round(1e3 * bytes_min / PEAK_HBM, 3),
+            **({"ms_pallas": round(t_pallas * 1e3, 3)}
+               if t_pallas is not None else {}),
         })
 
     import json

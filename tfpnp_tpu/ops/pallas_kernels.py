@@ -164,3 +164,79 @@ def _bwd(res, g):
 
 
 spi_inverse_fused.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------- #
+# Fused UNet conv block (round 4; VERDICT r3 next #4)                     #
+# --------------------------------------------------------------------- #
+#
+# ConvBlock (models/unet.py) is 3x [3x3 conv + LeakyReLU(0.2)] — the
+# building unit that dominates every denoiser forward. XLA materializes
+# the two intermediate activations in HBM when they exceed VMEM; this
+# kernel keeps the whole block's intermediates in VMEM per batch image:
+# one HBM read of the input, one write of the output, weights streamed
+# once. Each 3x3 conv runs as 9 shifted [H*W, Cin] x [Cin, C] MXU
+# matmuls with f32 accumulation (bf16 operands), bias + LeakyReLU on the
+# VPU between convs.
+#
+# Inference-path prototype: no custom VJP (training keeps the XLA
+# convs); fits whole 64^2-and-below grids per batch image in VMEM — the
+# post-shuffle resolution of every UNetS2D level at the flagship 128^2.
+
+
+def _conv_block_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref,
+                       w2_ref, b2_ref, out_ref):
+    x = x_ref[0]                                  # [H, W, Cin] bf16
+
+    def conv3x3(h, w_ref, b_ref):
+        hh, ww, cin = h.shape
+        cout = w_ref.shape[-1]
+        hp = jnp.pad(h, ((1, 1), (1, 1), (0, 0)))
+        acc = jnp.zeros((hh * ww, cout), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                patch = hp[dy:dy + hh, dx:dx + ww, :].reshape(hh * ww, cin)
+                acc = acc + jnp.dot(patch, w_ref[dy, dx],
+                                    preferred_element_type=jnp.float32)
+        y = acc + b_ref[:].astype(jnp.float32)[None, :]
+        y = jnp.where(y > 0, y, 0.2 * y)          # LeakyReLU(0.2)
+        return y.reshape(hh, ww, cout).astype(h.dtype)
+
+    h = conv3x3(x, w0_ref, b0_ref)
+    h = conv3x3(h, w1_ref, b1_ref)
+    h = conv3x3(h, w2_ref, b2_ref)
+    out_ref[0] = h
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_conv_block(x, params, interpret=None):
+    """Fused 3-conv LeakyReLU block (drop-in for ``ConvBlock.apply`` with
+    ``dtype=bfloat16``). ``x``: [B, H, W, Cin] (any float dtype; computed
+    in bf16, returned f32 like the surrounding mixed-precision network).
+    ``params``: the flax ConvBlock param tree {conv0..conv2: {kernel,
+    bias}}. ``interpret=None`` auto-selects the interpreter off-TPU."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu", "gpu")
+
+    b, h, w, cin = x.shape
+    cout = params["conv2"]["kernel"].shape[-1]
+    ws = []
+    for i in range(3):
+        ws.append(params[f"conv{i}"]["kernel"].astype(jnp.bfloat16))
+        ws.append(params[f"conv{i}"]["bias"].astype(jnp.float32))
+    vm = pltpu.VMEM
+    out = pl.pallas_call(
+        _conv_block_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), jnp.bfloat16),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w, cin), lambda i: (i, 0, 0, 0),
+                               memory_space=vm)]
+        + [pl.BlockSpec(memory_space=vm) for _ in range(6)],
+        out_specs=pl.BlockSpec((1, h, w, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=vm),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), *ws)
+    return out.astype(jnp.float32)

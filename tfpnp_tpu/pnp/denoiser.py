@@ -47,6 +47,12 @@ class UNetDenoiser:
     params: Any
     module: UNet = field(default_factory=lambda: UNet(2, 1))
     compute_dtype: Any = jnp.float32
+    # inference-path Pallas fused conv blocks (ops/pallas_kernels.py
+    # fused_conv_block): each 3-conv LeakyReLU block runs as one kernel
+    # with VMEM-resident intermediates. bf16 compute only; blocks whose
+    # working set exceeds the VMEM guard fall back to the XLA convs.
+    # No custom VJP — training paths keep use_pallas=False.
+    use_pallas: bool = False
 
     def __post_init__(self):
         # custom user modules may not expose a computation-dtype knob
@@ -58,8 +64,36 @@ class UNetDenoiser:
         b, h, w = x.shape
         sigma_map = jnp.broadcast_to(sigma.reshape(b, 1, 1, 1), (b, h, w, 1))
         inp = jnp.concatenate([x[..., None], sigma_map], axis=-1)
-        out = self.module.apply({"params": self.params}, inp)
+        if self.use_pallas and self.compute_dtype == jnp.bfloat16:
+            import flax.linen as nn
+            with nn.intercept_methods(_fused_block_interceptor):
+                out = self.module.apply({"params": self.params}, inp)
+        else:
+            out = self.module.apply({"params": self.params}, inp)
         return jnp.clip(out[..., 0].astype(jnp.float32), 0.0, 1.0)
+
+
+def _fused_block_interceptor(next_fun, args, kwargs, context):
+    """flax method interceptor routing bf16 ``ConvBlock.__call__`` through
+    the Pallas fused kernel; everything else (and blocks over the VMEM
+    guard) falls through to the XLA convs."""
+    from ..models.unet import ConvBlock
+
+    mod = context.module
+    if (isinstance(mod, ConvBlock) and context.method_name == "__call__"
+            and mod.num_layer == 3 and mod.dtype == jnp.bfloat16):
+        x = args[0]
+        h, w, cin = x.shape[1], x.shape[2], x.shape[3]
+        c = mod.features
+        # per-image VMEM working set: padded input + two activations
+        # (bf16) + f32 accumulator + bf16 weights; stay well under 16 MB
+        vmem = (2 * (h + 2) * (w + 2) * cin + 4 * h * w * c + 4 * h * w * c
+                + 2 * 9 * (cin * c + 2 * c * c))
+        if vmem < 10 * 2 ** 20:
+            from ..ops.pallas_kernels import fused_conv_block
+            out = fused_conv_block(x, mod.variables["params"])
+            return out.astype(mod.dtype)
+    return next_fun(*args, **kwargs)
 
 
 def init_denoiser_params(key: jax.Array, image_size: int = 64) -> Any:
@@ -70,7 +104,8 @@ def init_denoiser_params(key: jax.Array, image_size: int = 64) -> Any:
 
 
 def load_denoiser(path: str | Path | None = None,
-                  compute_dtype: Any = jnp.float32) -> UNetDenoiser:
+                  compute_dtype: Any = jnp.float32,
+                  use_pallas: bool = False) -> UNetDenoiser:
     """Load denoiser params from a pickle written by our trainer/converter.
 
     Mirrors the reference's checkpoint contract (denoiser/base.py:8-21):
@@ -98,7 +133,8 @@ def load_denoiser(path: str | Path | None = None,
     # constants, and host arrays embed without a device round-trip
     import numpy as np
     return UNetDenoiser(params=jax.tree.map(np.asarray, params),
-                        module=module, compute_dtype=compute_dtype)
+                        module=module, compute_dtype=compute_dtype,
+                        use_pallas=use_pallas)
 
 
 def make_denoiser_module(arch: str = "unet"):

@@ -175,16 +175,26 @@ def pinned_cpu_baseline() -> float:
     the ``torch_cpu_baseline`` key to force a re-measure.
     """
     p = Path(__file__).resolve().parent / "BASELINE.json"
+    write_back = True
     try:
         blob = json.loads(p.read_text())
-    except Exception:
+    except FileNotFoundError:
         blob = {}
+    except Exception as e:
+        # unreadable/corrupt BASELINE.json: measure in-process but do NOT
+        # rewrite the file — it carries north-star/config metadata that a
+        # transient read failure must not discard (advisor r4)
+        print(f"# BASELINE.json unreadable ({e}); measuring without "
+              f"pinning", file=sys.stderr)
+        blob, write_back = {}, False
     pin = blob.get("torch_cpu_baseline")
     if pin:
         return float(pin["iter_s"])
     import statistics
     vals = [bench_torch_cpu() for _ in range(5)]
     its = statistics.median(vals)
+    if not write_back:
+        return its
     blob["torch_cpu_baseline"] = {
         "iter_s": round(its, 2),
         "runs": [round(v, 2) for v in vals],

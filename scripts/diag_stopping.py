@@ -37,6 +37,13 @@ def main():
                     help="evaluate a raw checkpoint file instead of the "
                          "shipped registry policy")
     ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--denoiser_ckpt", default=None,
+                    help="prior checkpoint; pass the s2d prior to match "
+                         "the release-sweep protocol (eval_policies.py)")
+    ap.add_argument("--json_out", default=None,
+                    help="write the per-set report + summary as JSON "
+                         "(committed as oracle-curve evidence for "
+                         "always-6 policies, VERDICT r4 #1c)")
     ap.add_argument("--threshold", type=float, default=0.05,
                     help="remaining-gain threshold (= loop_penalty)")
     ap.add_argument("--gt", default="procedural",
@@ -65,7 +72,7 @@ def main():
          "--mesh_dp", "1", "--eval"])  # --eval: include the held-out
     # natural anchor the release sweep scores (tasks/*.py build)
     task = importlib.import_module(f"tfpnp_tpu.tasks.{task_name}")
-    denoiser = load_denoiser()
+    denoiser = load_denoiser(args.denoiser_ckpt)
     env, _, eval_sets, solver_name, _ = task.build(opt, denoiser)
     if args.gt != "procedural":
         # out-of-corpus probe (csmri protocol): same masks/sigma, gt
@@ -147,6 +154,22 @@ def main():
     print(f"\noracle mean iters {om:.2f} / {n_steps}; "
           f"PSNR cost of oracle stopping {cost:.3f} dB "
           f"(threshold {args.threshold})")
+    if args.json_out:
+        # RL-objective comparison: always-on is penalty-optimal iff
+        # full_psnr - lp*T >= oracle_psnr - lp*oracle_iters, i.e. the
+        # PSNR cost of oracle stopping exceeds the loop-penalty savings
+        # (threshold doubles as the loop penalty, the eval protocol's
+        # selection score; evaluator.py score)
+        penalty_saving = args.threshold * (n_steps - om)
+        blob = {"policy": solver_name, "threshold": args.threshold,
+                "denoiser_ckpt": args.denoiser_ckpt,
+                "max_episode_step": int(n_steps),
+                "oracle_iters_mean": round(float(om), 2),
+                "oracle_stop_psnr_cost_db": round(float(cost), 3),
+                "always_on_penalty_optimal": bool(cost >= penalty_saving),
+                "sets": report}
+        Path(args.json_out).write_text(json.dumps(blob, indent=1))
+        print(f"wrote {args.json_out}")
 
 
 if __name__ == "__main__":

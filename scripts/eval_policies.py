@@ -17,7 +17,8 @@ import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
 
 
 def main():
@@ -110,18 +111,46 @@ def main():
     # (/root/reference/docs/results.md:10-72): CSMRI-protocol families
     # 1.00-4.43 of 6, PR <= 3.75, SPI 4.23-9.77 of 10.
     def band_for(task):
-        return {"pr": (1.0, 3.75), "spi": (4.0, 9.77)}.get(task,
-                                                           (1.0, 4.43))
+        # SPI lower edge 4.23 per the cited reference rows (advisor r4);
+        # the reference's CT results block is empty, so CT borrows the
+        # CSMRI-protocol band — recorded in the summary note below.
+        return {"pr": (1.0, 3.75), "spi": (4.23, 9.77)}.get(task,
+                                                            (1.0, 4.43))
 
-    in_band, stragglers = [], []
+    def oracle_evidence(policy_file):
+        """Committed oracle curve for a policy, if one is shipped
+        (pretrained/stopping/{name}.json, scripts/diag_stopping.py):
+        an always-on policy whose curve shows always_on_penalty_optimal
+        is *evidenced optimal*, not a straggler (VERDICT r4 #1c)."""
+        stem = policy_file.replace("_actor.pkl", "")
+        p = (ROOT / "tfpnp_tpu" / "pretrained" / "stopping"
+             / f"{stem}.json")
+        return json.loads(p.read_text()) if p.exists() else None
+
+    in_band, evidenced, stragglers = [], [], []
     for r in rows:
         lo, hi = band_for(r["task"])
-        (in_band if lo <= r["mean_iters"] <= hi else stragglers).append(
-            f"{r['policy'].replace('_actor.pkl', '')}:{r['mean_iters']}")
-    summary = {"in_reference_band": len(in_band), "total": len(rows),
-               "stragglers": stragglers,
+        tag = f"{r['policy'].replace('_actor.pkl', '')}:{r['mean_iters']}"
+        if lo <= r["mean_iters"] <= hi:
+            in_band.append(tag)
+            continue
+        ev = oracle_evidence(r["policy"])
+        if ev and ev.get("always_on_penalty_optimal"):
+            evidenced.append(
+                f"{tag} (oracle {ev['oracle_iters_mean']} iters costs "
+                f"{ev['oracle_stop_psnr_cost_db']:+.3f} dB > penalty "
+                f"saving; {ev.get('denoiser_ckpt') or 'default prior'})")
+        else:
+            stragglers.append(tag)
+    summary = {"in_reference_band": len(in_band),
+               "evidenced_optimal": len(evidenced), "total": len(rows),
+               "in_band_or_evidenced": len(in_band) + len(evidenced),
+               "evidenced": evidenced, "stragglers": stragglers,
                "bands": {"default": [1.0, 4.43], "pr": [1.0, 3.75],
-                         "spi": [4.0, 9.77]}}
+                         "spi": [4.23, 9.77]},
+               "note": ("CT band borrowed from the CSMRI protocol — the "
+                        "reference's CT results block is empty "
+                        "(docs/results.md)")}
     logger.log("stopping ladder: " + json.dumps(summary))
     print(json.dumps({"stopping_summary": summary}))
     with open(Path(args.out) / "eval_policies.json", "w") as f:

@@ -70,7 +70,8 @@ def run_watched(cmd, log_file, stall_timeout: float) -> int:
 
 def run_job(spec: str, ship: bool = False,
             stall_timeout: float = 2400.0, warm: bool = False,
-            denoiser_ckpt: str = None, exp_suffix: str = "") -> bool:
+            denoiser_ckpt: str = None, exp_suffix: str = "",
+            lp: float = None) -> bool:
     parts = spec.split(":")
     task, solver = parts[0], parts[1]
     scale = parts[2] if len(parts) > 2 and parts[2] else None
@@ -83,6 +84,12 @@ def run_job(spec: str, ship: bool = False,
     cmd = [sys.executable, "-m", "tfpnp_tpu", "--task", task,
            "--solver", solver, "--exp", exp, "--train_steps", steps] + COMMON
     cmd += ["--action_pack", pack, "--max_episode_step", ep]
+    if lp is not None:
+        # stronger stopping pressure for band-straggler retrains: the
+        # loop penalty enters q_cont, so a higher lp opens the stop head
+        # earlier (trainer.py exact two-action target); appended AFTER
+        # COMMON so it overrides the default -lp 0.05
+        cmd += ["-lp", str(lp)]
     if task == "sr" and scale:
         cmd += ["--scale", scale]
     if warm:
@@ -141,11 +148,15 @@ def main():
     ap.add_argument("--exp_suffix", type=str, default="",
                     help="log-dir suffix so retrains never collide with "
                          "(or crash-resume from) a previous era's ckpts")
+    ap.add_argument("--lp", type=float, default=None,
+                    help="override the loop penalty (default 0.05): "
+                         "higher values push band-straggler stop heads "
+                         "to open earlier")
     args = ap.parse_args()
     for spec in args.jobs:
         run_job(spec, ship=args.ship, stall_timeout=args.stall_timeout,
                 warm=args.warm, denoiser_ckpt=args.denoiser_ckpt,
-                exp_suffix=args.exp_suffix)
+                exp_suffix=args.exp_suffix, lp=args.lp)
     if args.bench:
         subprocess.run([sys.executable, "bench.py"], cwd=ROOT)
     print("=== queue complete ===", flush=True)

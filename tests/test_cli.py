@@ -69,3 +69,36 @@ class TestPretrainedRegistry:
               "--image_size", "32", "--mesh_dp", "1"])
         arts = list((tmp_path / "t2" / "eval_results").rglob("action_seqs.json"))
         assert arts, "eval artifacts missing"
+
+
+class TestPolicyStatus:
+    """Ship-registry honesty (VERDICT r4 #5): a checkpoint whose stopping
+    is knowingly outside the reference band must say so at load time."""
+
+    def test_explicit_override_wins(self):
+        from tfpnp_tpu import pretrained
+        pretrained.POLICY_STATUS["zz_test_5x6"] = "stopping: collapsed"
+        try:
+            assert pretrained.policy_status("zz_test_5x6") == \
+                "stopping: collapsed"
+        finally:
+            del pretrained.POLICY_STATUS["zz_test_5x6"]
+
+    def test_oracle_evidence_surfaced(self):
+        """csmri_amp ships with a committed oracle curve
+        (pretrained/stopping/csmri_amp_5x6.json); the status must report
+        the oracle stopping point so `--eval` users learn the policy's
+        behavior relative to it."""
+        from tfpnp_tpu import pretrained
+        s = pretrained.policy_status("csmri_amp_5x6")
+        assert s is not None and "oracle" in s
+
+    def test_nominal_policy_has_no_status(self):
+        from tfpnp_tpu import pretrained
+        # flagship stops in-band (release sweep); no note unless one of
+        # its evidence files appears
+        import pathlib
+        stopping = pathlib.Path(pretrained.__file__).parent / "stopping"
+        if not (stopping / "csmri_admm_5x6.json").exists() and \
+                "csmri_admm_5x6" not in pretrained.POLICY_STATUS:
+            assert pretrained.policy_status("csmri_admm_5x6") is None

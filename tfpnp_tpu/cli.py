@@ -80,6 +80,9 @@ def main(argv=None):
             variables = pretrained.load_policy(solver_name)
             logger.log(f"loaded shipped policy "
                        f"{pretrained.policy_path(solver_name).name}")
+            status = pretrained.policy_status(solver_name)
+            if status:  # known-suboptimal / evidenced-optimal stopping
+                logger.log(f"policy status: {status}")
         variables = jax.tree.map(jax.numpy.asarray, variables)
         if multi:
             from .parallel.mesh import replicate

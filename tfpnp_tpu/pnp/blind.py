@@ -297,16 +297,28 @@ def estimate_kernel(y: np.ndarray, sigma_n: float,
                 _otf_power(k, h, w), idx, n_bins, counts), valid)
             if s < best[0]:
                 best = (s, params)
-        for params, k in gen(refine=best[1]):
-            s = _score(P, P_ref, floor, _bin_spectrum(
-                _otf_power(k, h, w), idx, n_bins, counts), valid)
-            if s < best[0]:
-                best = (s, params)
+        if best[1] is not None:  # skip refine when the coarse grid never
+            # produced a finite score (tiny images / extreme noise leave
+            # <6 SNR-positive bins, _score -> inf; advisor r4)
+            for params, k in gen(refine=best[1]):
+                s = _score(P, P_ref, floor, _bin_spectrum(
+                    _otf_power(k, h, w), idx, n_bins, counts), valid)
+                if s < best[0]:
+                    best = (s, params)
         results[fam] = best
     fam = min(results, key=lambda f: results[f][0])
     score, params = results[fam]
 
     from ..tasks.deblur import gaussian_kernel, motion_kernel
+    if params is None:
+        # no family produced a finite spectral fit — degrade gracefully
+        # to the task's default isotropic prior rather than crashing on a
+        # params unpack (advisor r4); 'fallback' tells the caller the
+        # estimate carries no information
+        kernel = gaussian_kernel(1.0)
+        return kernel, {
+            "family": "fallback", "params": (1.0,), "score": float("inf"),
+            "scores": {f: results[f][0] for f in results}}
     if fam == "gaussian":
         params = (max(params[0] * shrink, 0.05),)
         kernel = gaussian_kernel(*params)

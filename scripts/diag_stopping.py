@@ -66,10 +66,14 @@ def main():
     from tfpnp_tpu.utils.options import Options
 
     task_name, solver = args.policy.split("_", 1)
+    extra = []
+    if task_name[-1].isdigit():  # scale-suffixed SR families (sr3, sr4)
+        extra = ["--scale", task_name[-1]]
+        task_name = task_name[:-1]
     opt = Options().parse(
         ["--task", task_name, "--solver", solver, "--exp", "diag_stop",
          "--log_root", "logs/diag", "--image_size", str(args.size),
-         "--mesh_dp", "1", "--eval"])  # --eval: include the held-out
+         "--mesh_dp", "1", "--eval"] + extra)  # --eval: include the held-out
     # natural anchor the release sweep scores (tasks/*.py build)
     task = importlib.import_module(f"tfpnp_tpu.tasks.{task_name}")
     denoiser = load_denoiser(args.denoiser_ckpt)

@@ -140,6 +140,15 @@ def main():
                 f"{tag} (oracle {ev['oracle_iters_mean']} iters costs "
                 f"{ev['oracle_stop_psnr_cost_db']:+.3f} dB > penalty "
                 f"saving; {ev.get('denoiser_ckpt') or 'default prior'})")
+        elif (ev and ev["oracle_iters_mean"] > hi
+                and abs(r["mean_iters"] - ev["oracle_iters_mean"]) <= 0.6):
+            # the task's own optimum sits outside the borrowed band
+            # (these are beyond-reference families scored against the
+            # CSMRI-protocol band): a policy tracking its committed
+            # oracle curve is optimal, not a straggler
+            evidenced.append(
+                f"{tag} (oracle itself stops at {ev['oracle_iters_mean']}"
+                f" > band {hi}; policy tracks it)")
         else:
             stragglers.append(tag)
     summary = {"in_reference_band": len(in_band),

@@ -78,3 +78,49 @@ class TestUNetS2DOddSizes:
             out = net.apply({"params": params}, x)
             assert out.shape == (2, n, n, 1)
             assert np.isfinite(np.asarray(out)).all()
+
+
+class TestFastInferencePath:
+    """models/unet_fast.py: the im2col + composed-upsample inference
+    rewrite must be numerically EQUAL to module.apply (it is exact
+    linear algebra — VERDICT r4 #3), on aligned and unaligned sizes,
+    with fresh random params (no checkpoint dependence)."""
+
+    def _params(self, key, size=32):
+        m = UNetS2D(2, 1)
+        return m.init(key, jnp.zeros((1, size, size, 2)))["params"]
+
+    def test_matches_module_f32(self):
+        from tfpnp_tpu.models.unet_fast import s2d_fast_apply
+        params = self._params(jax.random.PRNGKey(0))
+        m = UNetS2D(2, 1, dtype=jnp.float32)
+        for shape in [(2, 32, 32, 2), (1, 33, 31, 2)]:
+            x = jax.random.uniform(jax.random.PRNGKey(1), shape)
+            ref = m.apply({"params": params}, x)
+            out = s2d_fast_apply(params, x, compute_dtype=jnp.float32)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5)
+
+    def test_gemm_grid_threshold_consistent(self):
+        """Both grid policies (all-GEMM vs all-XLA convs) agree — the
+        im2col rewrite itself is exact, independent of the dispatch
+        threshold."""
+        from tfpnp_tpu.models.unet_fast import s2d_fast_apply
+        params = self._params(jax.random.PRNGKey(2))
+        x = jax.random.uniform(jax.random.PRNGKey(3), (1, 32, 32, 2))
+        a = s2d_fast_apply(params, x, compute_dtype=jnp.float32,
+                           gemm_max_grid=0)
+        b = s2d_fast_apply(params, x, compute_dtype=jnp.float32,
+                           gemm_max_grid=1024)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_denoiser_wrapper_use_fused(self):
+        from tfpnp_tpu.pnp.denoiser import UNetDenoiser
+        params = self._params(jax.random.PRNGKey(4))
+        m = UNetS2D(2, 1)
+        d_ref = UNetDenoiser(params=params, module=m)
+        d_fast = UNetDenoiser(params=params, module=m, use_fused=True)
+        x = jax.random.uniform(jax.random.PRNGKey(5), (2, 32, 32))
+        sigma = jnp.asarray([0.05, 0.1])
+        np.testing.assert_allclose(np.asarray(d_fast(x, sigma)),
+                                   np.asarray(d_ref(x, sigma)), atol=2e-5)

@@ -18,6 +18,64 @@ import time
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
+
+
+def band_for(task):
+    """The reference's released checkpoint iteration ranges
+    (/root/reference/docs/results.md:10-72): CSMRI-protocol families
+    1.00-4.43 of 6, PR <= 3.75, SPI 4.23-9.77 of 10 (lower edge 4.23
+    per the cited rows; advisor r4). The reference's CT results block is
+    empty, so CT borrows the CSMRI-protocol band (summary note)."""
+    return {"pr": (1.0, 3.75), "spi": (4.23, 9.77)}.get(task, (1.0, 4.43))
+
+
+def oracle_evidence(policy_file, evidence_dir=None):
+    """Committed oracle curve for a policy, if one is shipped
+    (pretrained/stopping/{name}.json, scripts/diag_stopping.py)."""
+    stem = policy_file.replace("_actor.pkl", "")
+    d = evidence_dir or ROOT / "tfpnp_tpu" / "pretrained" / "stopping"
+    p = Path(d) / f"{stem}.json"
+    return json.loads(p.read_text()) if p.exists() else None
+
+
+def stopping_summary(rows, evidence_dir=None):
+    """Computed stopping-ladder accounting (round 4): the released-range
+    tally is derived from the data HERE, never hand-tallied in prose
+    (VERDICT r3 weak #1). A policy is (a) in the reference band, (b)
+    evidenced optimal — its committed oracle curve shows either that
+    always-on beats oracle stopping under the RL objective, or that the
+    task's own oracle stops outside the borrowed band and the policy
+    tracks it within 0.6 iters (beyond-reference families scored
+    against the CSMRI-protocol band) — or (c) a straggler."""
+    in_band, evidenced, stragglers = [], [], []
+    for r in rows:
+        lo, hi = band_for(r["task"])
+        tag = f"{r['policy'].replace('_actor.pkl', '')}:{r['mean_iters']}"
+        if lo <= r["mean_iters"] <= hi:
+            in_band.append(tag)
+            continue
+        ev = oracle_evidence(r["policy"], evidence_dir)
+        if ev and ev.get("always_on_penalty_optimal"):
+            evidenced.append(
+                f"{tag} (oracle {ev['oracle_iters_mean']} iters costs "
+                f"{ev['oracle_stop_psnr_cost_db']:+.3f} dB > penalty "
+                f"saving; {ev.get('denoiser_ckpt') or 'default prior'})")
+        elif (ev and ev["oracle_iters_mean"] > hi
+                and abs(r["mean_iters"] - ev["oracle_iters_mean"]) <= 0.6):
+            evidenced.append(
+                f"{tag} (oracle itself stops at {ev['oracle_iters_mean']}"
+                f" > band {hi}; policy tracks it)")
+        else:
+            stragglers.append(tag)
+    return {"in_reference_band": len(in_band),
+            "evidenced_optimal": len(evidenced), "total": len(rows),
+            "in_band_or_evidenced": len(in_band) + len(evidenced),
+            "evidenced": evidenced, "stragglers": stragglers,
+            "bands": {"default": [1.0, 4.43], "pr": [1.0, 3.75],
+                      "spi": [4.23, 9.77]},
+            "note": ("CT band borrowed from the CSMRI protocol — the "
+                     "reference's CT results block is empty "
+                     "(docs/results.md)")}
 sys.path.insert(0, str(ROOT))
 
 
@@ -104,62 +162,7 @@ def main():
         logger.log(f"| {r['policy']} | {r['mean_psnr']} | {r['mean_iters']} "
                    f"| {nat} | {r['eval_s']} |")
 
-    # ---- computed stopping-ladder summary (round 4): the released-range
-    # accounting is derived from the data HERE, never hand-tallied in
-    # prose (VERDICT r3 weak #1: RESULTS claimed 12 in-band, JSON said 9).
-    # Bands = the reference's released checkpoint iteration ranges
-    # (/root/reference/docs/results.md:10-72): CSMRI-protocol families
-    # 1.00-4.43 of 6, PR <= 3.75, SPI 4.23-9.77 of 10.
-    def band_for(task):
-        # SPI lower edge 4.23 per the cited reference rows (advisor r4);
-        # the reference's CT results block is empty, so CT borrows the
-        # CSMRI-protocol band — recorded in the summary note below.
-        return {"pr": (1.0, 3.75), "spi": (4.23, 9.77)}.get(task,
-                                                            (1.0, 4.43))
-
-    def oracle_evidence(policy_file):
-        """Committed oracle curve for a policy, if one is shipped
-        (pretrained/stopping/{name}.json, scripts/diag_stopping.py):
-        an always-on policy whose curve shows always_on_penalty_optimal
-        is *evidenced optimal*, not a straggler (VERDICT r4 #1c)."""
-        stem = policy_file.replace("_actor.pkl", "")
-        p = (ROOT / "tfpnp_tpu" / "pretrained" / "stopping"
-             / f"{stem}.json")
-        return json.loads(p.read_text()) if p.exists() else None
-
-    in_band, evidenced, stragglers = [], [], []
-    for r in rows:
-        lo, hi = band_for(r["task"])
-        tag = f"{r['policy'].replace('_actor.pkl', '')}:{r['mean_iters']}"
-        if lo <= r["mean_iters"] <= hi:
-            in_band.append(tag)
-            continue
-        ev = oracle_evidence(r["policy"])
-        if ev and ev.get("always_on_penalty_optimal"):
-            evidenced.append(
-                f"{tag} (oracle {ev['oracle_iters_mean']} iters costs "
-                f"{ev['oracle_stop_psnr_cost_db']:+.3f} dB > penalty "
-                f"saving; {ev.get('denoiser_ckpt') or 'default prior'})")
-        elif (ev and ev["oracle_iters_mean"] > hi
-                and abs(r["mean_iters"] - ev["oracle_iters_mean"]) <= 0.6):
-            # the task's own optimum sits outside the borrowed band
-            # (these are beyond-reference families scored against the
-            # CSMRI-protocol band): a policy tracking its committed
-            # oracle curve is optimal, not a straggler
-            evidenced.append(
-                f"{tag} (oracle itself stops at {ev['oracle_iters_mean']}"
-                f" > band {hi}; policy tracks it)")
-        else:
-            stragglers.append(tag)
-    summary = {"in_reference_band": len(in_band),
-               "evidenced_optimal": len(evidenced), "total": len(rows),
-               "in_band_or_evidenced": len(in_band) + len(evidenced),
-               "evidenced": evidenced, "stragglers": stragglers,
-               "bands": {"default": [1.0, 4.43], "pr": [1.0, 3.75],
-                         "spi": [4.23, 9.77]},
-               "note": ("CT band borrowed from the CSMRI protocol — the "
-                        "reference's CT results block is empty "
-                        "(docs/results.md)")}
+    summary = stopping_summary(rows)
     logger.log("stopping ladder: " + json.dumps(summary))
     print(json.dumps({"stopping_summary": summary}))
     with open(Path(args.out) / "eval_policies.json", "w") as f:

@@ -70,12 +70,38 @@ def stopping_summary(rows, evidence_dir=None):
     return {"in_reference_band": len(in_band),
             "evidenced_optimal": len(evidenced), "total": len(rows),
             "in_band_or_evidenced": len(in_band) + len(evidenced),
-            "evidenced": evidenced, "stragglers": stragglers,
+            "in_band": in_band, "evidenced": evidenced,
+            "stragglers": stragglers,
             "bands": {"default": [1.0, 4.43], "pr": [1.0, 3.75],
                       "spi": [4.23, 9.77]},
             "note": ("CT band borrowed from the CSMRI protocol — the "
                      "reference's CT results block is empty "
                      "(docs/results.md)")}
+
+
+def write_registry_summary(summary, out=None):
+    """Persist the sweep's per-policy classification where
+    ``pretrained.policy_status`` reads it (pretrained/stopping/
+    summary.json): None for in-band policies, the evidence note for
+    evidenced-optimal ones, a warning for stragglers (VERDICT r4 #5 —
+    a shipped checkpoint that is knowingly outside the band says so at
+    --eval time)."""
+    out = Path(out) if out else (
+        ROOT / "tfpnp_tpu" / "pretrained" / "stopping" / "summary.json")
+    blob = {}
+    for tag in summary["in_band"]:
+        blob[tag.partition(":")[0]] = None  # nominal
+    for tag in summary["evidenced"]:
+        name, _, rest = tag.partition(":")
+        blob[name] = f"evidenced-optimal stopping: {rest}"
+    for tag in summary["stragglers"]:
+        name, _, rest = tag.partition(":")
+        blob[name] = (f"stops outside the reference band "
+                      f"({rest.split(' ')[0]} mean iters; see "
+                      f"pretrained/stopping/ oracle evidence)")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(blob, indent=1))
+    return out
 sys.path.insert(0, str(ROOT))
 
 
@@ -164,6 +190,9 @@ def main():
 
     summary = stopping_summary(rows)
     logger.log("stopping ladder: " + json.dumps(summary))
+    if len(rows) >= 20:  # a full-registry sweep: refresh the shipped
+        # per-policy status that pretrained.policy_status surfaces
+        logger.log(f"registry summary -> {write_registry_summary(summary)}")
     print(json.dumps({"stopping_summary": summary}))
     with open(Path(args.out) / "eval_policies.json", "w") as f:
         json.dump({"rows": rows, "stopping_summary": summary}, f, indent=1)

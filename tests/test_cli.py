@@ -73,32 +73,51 @@ class TestPretrainedRegistry:
 
 class TestPolicyStatus:
     """Ship-registry honesty (VERDICT r4 #5): a checkpoint whose stopping
-    is knowingly outside the reference band must say so at load time."""
+    is knowingly outside the reference band must say so at load time;
+    precedence = explicit POLICY_STATUS > sweep summary.json > raw
+    oracle-evidence file > None (nominal)."""
 
-    def test_explicit_override_wins(self):
+    def _tmp_dir(self, monkeypatch, tmp_path):
         from tfpnp_tpu import pretrained
-        pretrained.POLICY_STATUS["zz_test_5x6"] = "stopping: collapsed"
-        try:
-            assert pretrained.policy_status("zz_test_5x6") == \
-                "stopping: collapsed"
-        finally:
-            del pretrained.POLICY_STATUS["zz_test_5x6"]
+        (tmp_path / "stopping").mkdir()
+        monkeypatch.setattr(pretrained, "_DIR", tmp_path)
+        return pretrained
 
-    def test_oracle_evidence_surfaced(self):
-        """csmri_amp ships with a committed oracle curve
-        (pretrained/stopping/csmri_amp_5x6.json); the status must report
-        the oracle stopping point so `--eval` users learn the policy's
-        behavior relative to it."""
-        from tfpnp_tpu import pretrained
-        s = pretrained.policy_status("csmri_amp_5x6")
+    def test_explicit_override_wins(self, monkeypatch, tmp_path):
+        import json
+        pretrained = self._tmp_dir(monkeypatch, tmp_path)
+        (tmp_path / "stopping" / "summary.json").write_text(
+            json.dumps({"zz_test_5x6": "from summary"}))
+        monkeypatch.setitem(pretrained.POLICY_STATUS, "zz_test_5x6",
+                            "stopping: collapsed")
+        assert pretrained.policy_status("zz_test_5x6") == \
+            "stopping: collapsed"
+
+    def test_sweep_summary_beats_raw_evidence(self, monkeypatch, tmp_path):
+        import json
+        pretrained = self._tmp_dir(monkeypatch, tmp_path)
+        (tmp_path / "stopping" / "aa_pol_5x6.json").write_text(json.dumps(
+            {"oracle_iters_mean": 3.6, "oracle_stop_psnr_cost_db": -0.03,
+             "always_on_penalty_optimal": False}))
+        # no summary yet: the raw evidence note surfaces
+        s = pretrained.policy_status("aa_pol_5x6")
         assert s is not None and "oracle" in s
+        # a sweep that found the (retrained) policy in band silences it
+        (tmp_path / "stopping" / "summary.json").write_text(
+            json.dumps({"aa_pol_5x6": None}))
+        assert pretrained.policy_status("aa_pol_5x6") is None
+        # and a straggler verdict surfaces the warning
+        (tmp_path / "stopping" / "summary.json").write_text(
+            json.dumps({"aa_pol_5x6": "stops outside the reference band"}))
+        assert "outside" in pretrained.policy_status("aa_pol_5x6")
 
-    def test_nominal_policy_has_no_status(self):
+    def test_nominal_policy_has_no_status(self, monkeypatch, tmp_path):
+        pretrained = self._tmp_dir(monkeypatch, tmp_path)
+        assert pretrained.policy_status("bb_pol_5x6") is None
+
+    def test_shipped_registry_consistent(self):
+        """Whatever the CURRENT shipped state is, policy_status must
+        resolve without raising for every shipped policy."""
         from tfpnp_tpu import pretrained
-        # flagship stops in-band (release sweep); no note unless one of
-        # its evidence files appears
-        import pathlib
-        stopping = pathlib.Path(pretrained.__file__).parent / "stopping"
-        if not (stopping / "csmri_admm_5x6.json").exists() and \
-                "csmri_admm_5x6" not in pretrained.POLICY_STATUS:
-            assert pretrained.policy_status("csmri_admm_5x6") is None
+        for f in pretrained.available_policies():
+            pretrained.policy_status(f)  # no exception

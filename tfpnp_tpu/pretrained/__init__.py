@@ -37,18 +37,33 @@ POLICY_STATUS: dict = {}
 def policy_status(name: str) -> Optional[str]:
     """Human-readable stopping-behavior note for a shipped policy.
 
-    Returns an explicit annotation from ``POLICY_STATUS`` if present,
-    else a pointer to committed oracle-curve evidence in
-    ``pretrained/stopping/``, else None (nominal: stops inside the
-    reference released band, eval_policies sweep)."""
+    Resolution order:
+      1. an explicit ``POLICY_STATUS`` annotation;
+      2. the release sweep's committed classification
+         (``pretrained/stopping/summary.json``, written by
+         ``scripts/eval_policies.py --full_grid``): None for in-band
+         policies, the evidence note for evidenced-optimal ones, a
+         warning for stragglers;
+      3. the raw oracle-curve evidence file, if no sweep summary covers
+         the policy yet.
+    None means nominal: stops inside the reference released band."""
+    import json
     key = name.split("_actor")[0]
-    for k in (key, key.rsplit("_", 1)[0]):  # with and without NxM suffix
+    base = key.rsplit("_", 1)[0] if key.rsplit("_", 1)[-1][0].isdigit() \
+        and "x" in key.rsplit("_", 1)[-1] else key
+    for k in (key, base):  # with and without NxM suffix
         if k in POLICY_STATUS:
             return POLICY_STATUS[k]
-    ev = sorted((_DIR / "stopping").glob(f"{key.rsplit('_', 1)[0]}*.json")) \
+    summary = _DIR / "stopping" / "summary.json"
+    if summary.exists():
+        blob = json.loads(summary.read_text())
+        for k in (key, base):
+            if k in blob:
+                return blob[k] or None
+    ev = sorted((_DIR / "stopping").glob(f"{base}*.json")) \
         if (_DIR / "stopping").is_dir() else []
+    ev = [p for p in ev if p.name != "summary.json"]
     if ev:
-        import json
         blob = json.loads(ev[0].read_text())
         head = ("always-on evidenced penalty-optimal"
                 if blob.get("always_on_penalty_optimal")

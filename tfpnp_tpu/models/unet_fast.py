@@ -105,7 +105,8 @@ def _up_first_conv(skip, xc, p, dtype, gemm):
     kernel, bias = p["kernel"], p["bias"]          # [3,3,Cs+Cu,Co]
     cs = skip.shape[-1]
     k_skip, k_up = kernel[:, :, :cs], kernel[:, :, cs:]
-    out = _conv3x3_xla(skip.astype(dtype), k_skip, bias)
+    fn = _conv3x3_gemm if gemm else _conv3x3_xla
+    out = fn(skip.astype(dtype), k_skip, bias)
     th = _shifted_interp(xc.shape[1])
     tw = _shifted_interp(xc.shape[2])
     xc = xc.astype(dtype)

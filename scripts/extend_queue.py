@@ -58,6 +58,11 @@ def main():
     ap.add_argument("--ship", action="store_true")
     ap.add_argument("--denoiser_ckpt",
                     default="tfpnp_tpu/pretrained/unet_s2d_denoiser.pkl")
+    ap.add_argument("--lp", type=float, default=None,
+                    help="loop-penalty override — MUST match the original "
+                         "run's lp (e.g. the round-5 band retrains use "
+                         "0.1) or the extension flips the objective "
+                         "mid-run")
     args = ap.parse_args()
 
     for exp in args.exps:
@@ -74,6 +79,8 @@ def main():
                "--denoiser_ckpt", args.denoiser_ckpt] + COMMON
         cmd += ["--action_pack", pack, "--max_episode_step", ep,
                 "--env_batch", batch]
+        if args.lp is not None:
+            cmd += ["-lp", str(args.lp)]  # after COMMON: overrides 0.05
         if task == "sr" and scale:
             cmd += ["--scale", scale]
         print(f"=== extend {exp}: step {step} -> {target} ===", flush=True)

@@ -54,7 +54,9 @@ def main():
         x0 = jax.random.uniform(jax.random.PRNGKey(0),
                                 (BATCH, SIZE, SIZE, 2))
 
-        @jax.jit
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=1)
         def chained(x, n):
             def body(c, _):
                 y = apply_fn(c)
@@ -65,7 +67,9 @@ def main():
             c, s = jax.lax.scan(body, x, jnp.arange(n))
             return s[-1]
 
-        float(chained(x0, 2))  # compile + warm
+        # warm with the SAME static n — a different n is a different
+        # program, and the timed call would pay its compile
+        float(chained(x0, args.reps))
         t0 = time.time()
         s = float(chained(x0, args.reps))  # one program, reps forwards
         dt = (time.time() - t0) / args.reps

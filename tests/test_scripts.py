@@ -116,3 +116,43 @@ class TestStoppingSummary:
         assert s["in_band_or_evidenced"] == 3
         assert [t.split(":")[0] for t in s["stragglers"]] == \
             ["c_pol_5x6", "d_pol_5x6"]
+
+
+class TestMergeEvalRows:
+    """merge_eval_rows: partial re-evals fold into a sweep snapshot and
+    the ladder is recomputed by the same module function (round 5)."""
+
+    def test_merge_replaces_rows_and_recomputes(self, tmp_path, capsys):
+        import json
+        spec = importlib.util.spec_from_file_location(
+            "merge_eval_rows", ROOT / "scripts" / "merge_eval_rows.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        snap = tmp_path / "snap.json"
+        snap.write_text(json.dumps({"rows": [
+            {"policy": "aa_admm_5x6_actor.pkl", "task": "csmri",
+             "mean_iters": 6.0, "mean_psnr": 30.0},
+            {"policy": "bb_hqs_5x6_actor.pkl", "task": "csmri",
+             "mean_iters": 2.0, "mean_psnr": 31.0}],
+            "stopping_summary": {}}))
+        part = tmp_path / "part.json"
+        part.write_text(json.dumps({"rows": [
+            {"policy": "aa_admm_5x6_actor.pkl", "task": "csmri",
+             "mean_iters": 3.0, "mean_psnr": 30.1}]}))
+
+        import sys
+        import unittest.mock as um
+        reg = tmp_path / "summary.json"
+        with um.patch.object(sys, "argv",
+                             ["merge", str(snap), str(part)]), \
+             um.patch.object(mod, "write_registry_summary",
+                             lambda s, out=None: reg):
+            mod.main()
+
+        merged = json.loads(snap.read_text())
+        by = {r["policy"]: r for r in merged["rows"]}
+        assert by["aa_admm_5x6_actor.pkl"]["mean_iters"] == 3.0   # replaced
+        assert by["bb_hqs_5x6_actor.pkl"]["mean_iters"] == 2.0    # kept
+        s = merged["stopping_summary"]
+        assert s["in_reference_band"] == 2 and s["total"] == 2
